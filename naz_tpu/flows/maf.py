@@ -1,0 +1,239 @@
+"""Masked affine autoregressive flow — stacked-layer, scan-based.
+
+Capability parity with the reference MAF
+(``/root/reference/src/naz/flows/bflow_jax_maf.py:107-225`` and
+``src/naz/flows/transforms.py:133-160``) with a TPU-first layout:
+
+* all ``n_layers`` MADE layers are **stacked along a leading axis** and the
+  flow walks them with ``lax.scan`` — one compiled conditioner trace for the
+  whole stack (instead of 16 unrolled layer programs), which XLA pipelines;
+* **orientation is explicit**. ``invert=False`` (default) is the classic MAF:
+  density evaluation (the MLE/NUTS hot path) is ONE conditioner pass per
+  layer; sampling is the sequential ``dim``-pass inversion. ``invert=True``
+  reproduces the reference's convention (one-pass sampling, sequential
+  density — IAF-like), used for importing reference-trained weights;
+* the sequential inversion is a ``fori_loop`` of full-vector updates: after
+  pass ``k`` every coordinate of autoregressive degree ``<= k`` is exact, so
+  ``dim`` passes converge — same fixed point as the reference's per-coordinate
+  loop (``bflow_jax_maf.py:186-190``) but without data-dependent gathers, so
+  it stays MXU-shaped under ``vmap`` over chains.
+
+Convention: ``forward(params, x, context)`` maps data -> latent and returns
+``(z, log|det dz/dx|)``; ``inverse`` maps latent -> data with its own
+log-det. ``log_prob = base.log_prob(forward(x)) + logdet``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from naz_tpu.ops.masks import made_masks, random_permutations
+from naz_tpu.ops.masked_dense import made_mlp
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class MaskedAutoregressiveFlow:
+    """Static configuration for a stack of MADE affine layers."""
+
+    dim: int
+    context_dim: int
+    hidden_dims: Tuple[int, ...]
+    n_layers: int
+    masks: Tuple[jnp.ndarray, ...]  # each (n_layers, out_k, in_k)
+    permutations: jnp.ndarray  # (n_layers, dim) int — recorded for parity/import
+    activation: Callable = jnp.tanh
+    log_scale_clip: Tuple[float, float] = (-5.0, 3.0)
+    invert: bool = False
+
+    # -- construction ------------------------------------------------------
+
+    @staticmethod
+    def create(
+        dim: int,
+        n_layers: int,
+        hidden_dims: Sequence[int],
+        context_dim: int = 0,
+        *,
+        seed: int = 0,
+        permutations: Optional[np.ndarray] = None,
+        activation: Callable = jnp.tanh,
+        log_scale_clip: Tuple[float, float] = (-5.0, 3.0),
+        invert: bool = False,
+    ) -> "MaskedAutoregressiveFlow":
+        if permutations is None:
+            permutations = random_permutations(np.random.default_rng(seed), dim, n_layers)
+        permutations = np.asarray(permutations)
+        per_layer = [
+            made_masks(dim, context_dim, hidden_dims, permutations[l], n_params=2)[0]
+            for l in range(n_layers)
+        ]
+        stacked = tuple(
+            jnp.stack([per_layer[l][k] for l in range(n_layers)])
+            for k in range(len(hidden_dims) + 1)
+        )
+        return MaskedAutoregressiveFlow(
+            dim=dim,
+            context_dim=context_dim,
+            hidden_dims=tuple(hidden_dims),
+            n_layers=n_layers,
+            masks=stacked,
+            permutations=jnp.asarray(permutations),
+            activation=activation,
+            log_scale_clip=log_scale_clip,
+            invert=invert,
+        )
+
+    def init_params(self, key, scale: float = 1e-2):
+        """Near-identity init: scaled-normal hidden layers, zero final layer.
+
+        With a zero final layer the flow starts as the identity map (mean 0,
+        log-scale 0) — strictly better conditioned than the reference's
+        ``1e-5``-scaled final layer (``bflow_jax_maf.py:273``).
+        """
+        cin = self.context_dim + self.dim
+        widths = [cin, *self.hidden_dims, 2 * self.dim]
+        params = []
+        keys = jax.random.split(key, len(widths) - 1)
+        for k, (fan_in, fan_out) in zip(keys, zip(widths[:-1], widths[1:])):
+            last = fan_out == widths[-1] and len(params) == len(widths) - 2
+            if last:
+                w = jnp.zeros((self.n_layers, fan_out, fan_in))
+            else:
+                w = scale * jax.random.normal(
+                    k, (self.n_layers, fan_out, fan_in)
+                ) / np.sqrt(fan_in)
+            params.append({"w": w, "b": jnp.zeros((self.n_layers, fan_out))})
+        return tuple(params)
+
+    # -- conditioner -------------------------------------------------------
+
+    def _conditioner(self, x, layer_params, layer_masks, context):
+        mu, log_s = made_mlp(
+            x,
+            layer_params,
+            layer_masks,
+            context=context,
+            activation=self.activation,
+            n_params=2,
+        )
+        lo, hi = self.log_scale_clip
+        return mu, jnp.clip(log_s, lo, hi)
+
+    # -- primitive directions (ignore `invert`) ----------------------------
+
+    def _one_pass(self, params, x, context):
+        """data -> latent in one conditioner pass per layer (fast density)."""
+
+        def body(carry, xs):
+            x, ld = carry
+            layer_params, layer_masks = xs
+            mu, log_s = self._conditioner(x, layer_params, layer_masks, context)
+            z = (x - mu) * jnp.exp(-log_s)
+            return (z, ld - jnp.sum(log_s, axis=-1)), None
+
+        init = (x, jnp.zeros(x.shape[:-1], dtype=x.dtype))
+        (z, ld), _ = lax.scan(body, init, (params, self.masks))
+        return z, ld
+
+    def _sequential(self, params, z, context):
+        """latent -> data via dim full-vector passes per layer."""
+
+        def body(carry, xs):
+            z, ld = carry
+            layer_params, layer_masks = xs
+
+            def one_update(x):
+                mu, log_s = self._conditioner(x, layer_params, layer_masks, context)
+                return mu, log_s
+
+            def pass_fn(_, x):
+                mu, log_s = one_update(x)
+                return mu + z * jnp.exp(log_s)
+
+            x = lax.fori_loop(0, self.dim - 1, pass_fn, jnp.zeros_like(z))
+            mu, log_s = one_update(x)
+            x = mu + z * jnp.exp(log_s)
+            return (x, ld + jnp.sum(log_s, axis=-1)), None
+
+        init = (z, jnp.zeros(z.shape[:-1], dtype=z.dtype))
+        (x, ld), _ = lax.scan(body, init, (params, self.masks), reverse=True)
+        return x, ld
+
+    # -- public API (honors `invert`) --------------------------------------
+
+    def forward(self, params, x, context=None):
+        """data -> latent, returns (z, log|det dz/dx|)."""
+        context = self._prep_context(x, context)
+        if self.invert:
+            # Reference orientation: density goes through the sequential
+            # direction; its per-layer map is x -> z with x = mu(z..)+...,
+            # i.e. we must *solve* the one-pass map. Scan layers in reverse.
+            z, ld = self._sequential_as_forward(params, x, context)
+            return z, ld
+        return self._one_pass(params, x, context)
+
+    def inverse(self, params, z, context=None):
+        """latent -> data, returns (x, log|det dx/dz|)."""
+        context = self._prep_context(z, context)
+        if self.invert:
+            return self._one_pass_as_inverse(params, z, context)
+        return self._sequential(params, z, context)
+
+    # The invert=True direction pair: the underlying per-layer map is
+    # y = mu(x_prev) + x * exp(s(x_prev)) applied z->x when SAMPLING (one
+    # pass, layer order 0..L-1), exactly `bflow_jax_maf.py:173-179`; density
+    # solves it back layer L-1..0, `bflow_jax_maf.py:181-193`.
+
+    def _sequential_as_forward(self, params, y, context):
+        def body(carry, xs):
+            y, ld = carry
+            layer_params, layer_masks = xs
+
+            def pass_fn(_, x):
+                mu, log_s = self._conditioner(x, layer_params, layer_masks, context)
+                return (y - mu) * jnp.exp(-log_s)
+
+            x = lax.fori_loop(0, self.dim - 1, pass_fn, jnp.zeros_like(y))
+            mu, log_s = self._conditioner(x, layer_params, layer_masks, context)
+            x = (y - mu) * jnp.exp(-log_s)
+            return (x, ld - jnp.sum(log_s, axis=-1)), None
+
+        init = (y, jnp.zeros(y.shape[:-1], dtype=y.dtype))
+        (x, ld), _ = lax.scan(body, init, (params, self.masks), reverse=True)
+        return x, ld
+
+    def _one_pass_as_inverse(self, params, z, context):
+        def body(carry, xs):
+            x, ld = carry
+            layer_params, layer_masks = xs
+            mu, log_s = self._conditioner(x, layer_params, layer_masks, context)
+            y = mu + x * jnp.exp(log_s)
+            return (y, ld + jnp.sum(log_s, axis=-1)), None
+
+        init = (z, jnp.zeros(z.shape[:-1], dtype=z.dtype))
+        (y, ld), _ = lax.scan(body, init, (params, self.masks))
+        return y, ld
+
+    def _prep_context(self, x, context):
+        if x.shape[-1] != self.dim:
+            raise ValueError(
+                f"expected feature dimension {self.dim}, got input shape {x.shape}"
+            )
+        if context is None:
+            if self.context_dim:
+                raise ValueError("flow is conditional: context required")
+            return None
+        if not self.context_dim:
+            raise ValueError("flow is unconditional but a context was passed")
+        context = jnp.asarray(context)
+        if context.shape[-1] != self.context_dim:
+            raise ValueError(
+                f"expected context dimension {self.context_dim}, got shape {context.shape}"
+            )
+        return jnp.broadcast_to(context, x.shape[:-1] + (context.shape[-1],))
