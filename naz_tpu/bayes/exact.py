@@ -1,0 +1,79 @@
+"""Exact-Bayesian flow training: NUTS over flow weights, end to end.
+
+The analogue of the reference's production path
+(``examples/papers/2506.05657/hmc_maf_exact.py:100-144`` driving
+``train_bayesian_flow_hmc`` / checkpointed ``train_bayesian_flow``,
+``bflow_jax_maf.py:321-404``) — MLE params in, posterior over weights out,
+with chains vmapped on-device and optional elastic checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from naz_tpu.bayes.wrapper import BayesianFlow
+from naz_tpu.mcmc.diagnostics import effective_sample_size, split_rhat
+from naz_tpu.mcmc.run import MCMCRunConfig, run_nuts, run_nuts_checkpointed
+
+
+def fit_nuts(
+    bayes_flow: BayesianFlow,
+    cfg: MCMCRunConfig = MCMCRunConfig(),
+    checkpoint_dir: Optional[str] = None,
+    nbatch: int = 100,
+    init_jitter: float = 0.1,
+) -> dict:
+    """Sample the weight posterior with NUTS.
+
+    Returns a posterior dict with constrained draws (``standard``, ``scale``,
+    ``params_flat``, unraveled ``params``) of shape ``(num_samples,
+    num_chains, ...)`` plus sampler statistics and summary diagnostics
+    (split-R̂ / ESS on a diagnostic projection of the weight space and on the
+    log-likelihood trace).
+    """
+    q0 = bayes_flow.init_positions(
+        jax.random.PRNGKey(cfg.seed + 1), cfg.num_chains, jitter=init_jitter
+    )
+
+    if checkpoint_dir is not None:
+        posterior = run_nuts_checkpointed(
+            bayes_flow.potential, q0, cfg, checkpoint_dir, nbatch=nbatch
+        )
+        u = jnp.asarray(posterior["q"])
+        stats = {
+            k: posterior[k] for k in ("accept_prob", "num_grad_evals", "diverging")
+        }
+    else:
+        _, batch, winfo = run_nuts(bayes_flow.potential, q0, cfg)
+        u = batch.q
+        stats = {
+            "accept_prob": np.asarray(batch.accept_prob),
+            "num_grad_evals": np.asarray(batch.num_grad_evals),
+            "diverging": np.asarray(batch.diverging),
+            "warmup_grad_evals": int(winfo.num_grad_evals),
+        }
+
+    out = bayes_flow.posterior_params(u)
+
+    # diagnostics on a cheap projection: the log-likelihood trace and the
+    # first few weight coordinates (full per-weight R̂ on 10^5-10^6 weights
+    # is possible but rarely wanted; expose the draws so callers can).
+    ll = jax.vmap(
+        jax.vmap(bayes_flow.log_likelihood_flat)
+    )(out["params_flat"])
+    out["log_likelihood"] = ll
+    k = min(8, u.shape[-1])
+    diag_axis = jnp.concatenate([ll[..., None], u[..., :k]], axis=-1)
+    out["diagnostics"] = {
+        "split_rhat": np.asarray(split_rhat(diag_axis)),
+        "ess": np.asarray(effective_sample_size(diag_axis)),
+        "divergence_fraction": float(np.mean(stats["diverging"])),
+        "mean_accept_prob": float(np.mean(stats["accept_prob"])),
+        "total_grad_evals": int(np.sum(stats["num_grad_evals"])),
+    }
+    out["stats"] = stats
+    return out

@@ -1,0 +1,184 @@
+"""Bayesian posterior over flow weights.
+
+Capability parity with ``bayesian_normalizing_flow``
+(``/root/reference/src/naz/flows/bflow_jax_maf.py:227-268``): the posterior
+is over *standardized* weights with the multiplicative reparameterization
+
+    params = params_MLE * (1 + scale * standard),   standard ~ U(-1, 1)^P,
+
+``scale`` either fixed at ``scale_max`` or ``~ U(0, scale_max)`` (scalar or
+per-parameter when ``multi_scale``). The likelihood is ``sum`` (or ``mean``
+when ``avg``) of the flow log-prob over the training set.
+
+Where the reference hands this model to numpyro, here it compiles directly
+to an unconstrained **potential function** for our NUTS/HMC/SVI kernels:
+interval-constrained variables enter through a sigmoid reparameterization
+with its log-Jacobian (what numpyro's transform machinery did implicitly).
+Uniform priors contribute only that Jacobian term.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+
+def make_flow_loglik(flow, x, context=None) -> Callable:
+    """Per-datum log-likelihood closure: params -> (N,) log probs.
+
+    Mirrors ``make_normalizing_flow(...)['lp']`` (``bflow_jax_maf.py:210-212``)
+    binding the data (and optional context) at build time.
+    """
+    x = jnp.asarray(x)
+    if context is not None:
+        context = jnp.asarray(context)
+    return lambda params: flow.log_prob(params, x, context=context)
+
+
+def _interval(u):
+    """(-1, 1) sigmoid reparameterization with per-coordinate log-Jacobian sum."""
+    s = jax.nn.sigmoid(u)
+    x = 2.0 * s - 1.0
+    log_det = jnp.sum(jnp.log(2.0) - jax.nn.softplus(u) - jax.nn.softplus(-u))
+    return x, log_det
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class BayesianFlow:
+    """Posterior over flow weights around an MLE fit.
+
+    Attributes mirror the reference's knobs (``bflow_jax_maf.py:227``):
+    ``scale_max`` = sigma0; ``fixed_scale`` pins scale to ``scale_max``;
+    ``multi_scale`` gives every weight its own scale; ``avg`` uses the mean
+    instead of the summed log-likelihood.
+    """
+
+    loglik: Callable  # params-pytree -> (N,) per-datum log probs
+    mle_params: object
+    scale_max: float = 1.0
+    fixed_scale: bool = True
+    multi_scale: bool = False
+    avg: bool = False
+
+    def __post_init__(self):
+        flat, unravel = ravel_pytree(self.mle_params)
+        object.__setattr__(self, "_flat_mle", flat)
+        object.__setattr__(self, "_unravel", unravel)
+
+    @property
+    def num_weights(self) -> int:
+        return int(self._flat_mle.size)
+
+    @property
+    def complexity(self) -> int:
+        """Reference's printed "model complexity" (``bflow_jax_maf.py:231``)."""
+        return self.num_weights * (2 if self.multi_scale else 1)
+
+    @property
+    def dim(self) -> int:
+        """Dimension of the unconstrained sampling space."""
+        if self.fixed_scale:
+            return self.num_weights
+        return self.num_weights + (self.num_weights if self.multi_scale else 1)
+
+    # -- parameterization --------------------------------------------------
+
+    def _split(self, u):
+        P = self.num_weights
+        if self.fixed_scale:
+            return u, None
+        return u[:P], u[P:]
+
+    def constrain(self, u):
+        """Unconstrained vector -> dict(standard, scale, params_flat)."""
+        u_std, u_scale = self._split(u)
+        standard, ld_std = _interval(u_std)
+        if self.fixed_scale:
+            scale = jnp.asarray(self.scale_max)
+            log_det = ld_std
+        else:
+            s = jax.nn.sigmoid(u_scale)
+            scale = self.scale_max * s
+            if not self.multi_scale:
+                scale = scale.reshape(())
+            ld_scale = jnp.sum(
+                jnp.log(self.scale_max) - jax.nn.softplus(u_scale) - jax.nn.softplus(-u_scale)
+            )
+            log_det = ld_std + ld_scale
+        params_flat = self._flat_mle * (1.0 + scale * standard)
+        return {
+            "standard": standard,
+            "scale": scale,
+            "params_flat": params_flat,
+            "log_det": log_det,
+        }
+
+    def unravel(self, params_flat):
+        return self._unravel(params_flat)
+
+    def log_likelihood_flat(self, params_flat):
+        ll = self.loglik(self._unravel(params_flat))
+        return ll.mean() if self.avg else ll.sum()
+
+    # -- potential for NUTS/HMC/SVI ---------------------------------------
+
+    def potential(self, u):
+        """-log posterior density in unconstrained space (up to a constant)."""
+        c = self.constrain(u)
+        ll = self.log_likelihood_flat(c["params_flat"])
+        return -(ll + c["log_det"])
+
+    def init_positions(self, key, num_chains: int, jitter: float = 0.1):
+        """Chains start at the MLE (standard = 0 <-> u = 0), jittered."""
+        return jitter * jax.random.normal(key, (num_chains, self.dim))
+
+    # -- prior predictive --------------------------------------------------
+
+    def sample_prior(self, key, num_samples: int):
+        """Draws from the prior over weights (reference
+        ``train_bayesian_flow_prior``, ``bflow_jax_maf.py:337-341``)."""
+        P = self.num_weights
+        k_std, k_scale = jax.random.split(key)
+        standard = jax.random.uniform(k_std, (num_samples, P), minval=-1.0, maxval=1.0)
+        if self.fixed_scale:
+            scale = jnp.full((num_samples, 1), self.scale_max)
+        elif self.multi_scale:
+            scale = jax.random.uniform(k_scale, (num_samples, P), maxval=self.scale_max)
+        else:
+            scale = jax.random.uniform(k_scale, (num_samples, 1), maxval=self.scale_max)
+        params_flat = self._flat_mle * (1.0 + scale * standard)
+        return {
+            "standard": standard,
+            "scale": jnp.squeeze(scale, -1) if scale.shape[-1] == 1 else scale,
+            "params_flat": params_flat,
+            "params": jax.vmap(self._unravel)(params_flat),
+        }
+
+    # -- posterior post-processing ----------------------------------------
+
+    def posterior_params(self, u_samples):
+        """Map (..., dim) unconstrained draws to constrained posteriors.
+
+        Returns dict with ``standard``, ``scale``, ``params_flat`` and
+        ``params`` (unraveled pytree with the sample axes leading), the
+        analogue of ``samples["params"] = vmap(unravel_fn)(...)``
+        (``bflow_jax_maf.py:334``).
+        """
+        u = jnp.asarray(u_samples)
+        lead = u.shape[:-1]
+        u2 = u.reshape((-1, u.shape[-1]))
+        c = jax.vmap(self.constrain)(u2)
+        params = jax.vmap(self._unravel)(c["params_flat"])
+        out = {
+            "standard": c["standard"].reshape(lead + (-1,)),
+            "scale": c["scale"].reshape(lead + c["scale"].shape[1:]),
+            "params_flat": c["params_flat"].reshape(lead + (-1,)),
+            "params": jax.tree.map(
+                lambda a: a.reshape(lead + a.shape[1:]), params
+            ),
+        }
+        return out

@@ -1,0 +1,299 @@
+"""Multi-chain NUTS drivers: warmup, sampling, checkpointed resume.
+
+Replaces the reference's numpyro MCMC drivers
+(``/root/reference/src/naz/flows/bflow_jax_maf.py:321-404``):
+
+* chains are a **vmapped axis inside one jitted program** (not one process
+  per device); `naz_tpu.parallel` shards that axis over a mesh with
+  ``shard_map`` so chains ride ICI on a pod slice;
+* warmup (dual averaging + Welford diagonal mass, Stan's windowed schedule)
+  is a single ``lax.scan`` — each chain adapts independently (its own step
+  size and mass), matching numpyro's vectorized chain method;
+* sampling runs in batches of ``nbatch`` draws (one scan per batch) with the
+  accumulated posterior offloaded to host per batch — the reference's
+  checkpoint/resume driver (``train_bayesian_flow``,
+  ``bflow_jax_maf.py:355-404``) maps to :func:`run_nuts_checkpointed`,
+  with pickle replaced by ``naz_tpu.io.checkpoint`` pytree files.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from naz_tpu.mcmc.adapt import (
+    DualAveragingState,
+    WelfordState,
+    build_warmup_schedule,
+    da_init,
+    da_update,
+    welford_init,
+    welford_update,
+    welford_variance,
+)
+from naz_tpu.mcmc.hmc import find_reasonable_step_size
+from naz_tpu.mcmc.nuts import NUTSConfig, nuts_step
+
+
+@dataclasses.dataclass(frozen=True)
+class MCMCRunConfig:
+    num_warmup: int = 500
+    num_samples: int = 500
+    num_chains: int = 4
+    target_accept: float = 0.8
+    max_depth: int = 10
+    adapt_mass: bool = True
+    init_step_size: float = 0.1
+    seed: int = 0
+    # DA hyperparams (Stan defaults)
+    da_gamma: float = 0.05
+    da_t0: float = 10.0
+    da_kappa: float = 0.75
+
+
+class ChainState(NamedTuple):
+    """Per-chain sampler state; leading axis = chains."""
+
+    q: jnp.ndarray
+    U: jnp.ndarray
+    grad: jnp.ndarray
+    key: jnp.ndarray
+    step_size: jnp.ndarray
+    inv_mass: jnp.ndarray
+
+
+class WarmupInfo(NamedTuple):
+    accept_prob: jnp.ndarray  # (num_warmup, chains)
+    step_size: jnp.ndarray  # final per-chain
+    num_grad_evals: jnp.ndarray  # total over warmup
+
+
+def _nuts_cfg(cfg: MCMCRunConfig) -> NUTSConfig:
+    return NUTSConfig(max_depth=cfg.max_depth)
+
+
+def init_chains(
+    potential: Callable, q0: jnp.ndarray, cfg: MCMCRunConfig
+) -> ChainState:
+    """q0: (chains, dim) initial positions."""
+    pg = jax.value_and_grad(potential)
+    U, grad = jax.vmap(pg)(q0)
+    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), q0.shape[0])
+    inv_mass = jnp.ones_like(q0)
+    step = jnp.full((q0.shape[0],), cfg.init_step_size, q0.dtype)
+    return ChainState(q0, U, grad, keys, step, inv_mass)
+
+
+def warmup_nuts(
+    potential: Callable, state: ChainState, cfg: MCMCRunConfig
+) -> tuple[ChainState, WarmupInfo]:
+    """Adapt step size + diagonal mass; returns post-warmup state."""
+    pg = jax.value_and_grad(potential)
+    nuts_config = _nuts_cfg(cfg)
+    dim = state.q.shape[-1]
+    n_chains = state.q.shape[0]
+
+    is_slow, window_end = build_warmup_schedule(cfg.num_warmup)
+    is_slow = jnp.asarray(is_slow)
+    window_end = jnp.asarray(window_end)
+
+    @jax.jit
+    def _warmup(state: ChainState):
+        # heuristic initial step size, per chain
+        keys = jax.vmap(jax.random.split)(state.key)
+        k_find, k_rest = keys[:, 0], keys[:, 1]
+        step0 = jax.vmap(
+            lambda q, k, im: find_reasonable_step_size(
+                pg, q, k, im, init_step=cfg.init_step_size
+            )
+        )(state.q, k_find, state.inv_mass)
+
+        da0 = jax.vmap(da_init)(step0)
+        wf0 = jax.vmap(lambda _: welford_init(dim))(jnp.arange(n_chains))
+        carry = dict(
+            q=state.q,
+            U=state.U,
+            grad=state.grad,
+            key=k_rest,
+            inv_mass=state.inv_mass,
+            da=da0,
+            wf=wf0,
+            n_evals=jnp.zeros((), jnp.int32),
+        )
+
+        def one_step(carry, xs):
+            slow, wend = xs
+            keys = jax.vmap(jax.random.split)(carry["key"])
+            k_step, k_next = keys[:, 0], keys[:, 1]
+            step_size = jnp.exp(carry["da"].log_step)
+
+            q, U, grad, info = jax.vmap(
+                lambda q, U, g, k, s, im: nuts_step(
+                    pg, q, U, g, k, s, im, nuts_config
+                )
+            )(carry["q"], carry["U"], carry["grad"], k_step, step_size, carry["inv_mass"])
+
+            da = jax.vmap(
+                lambda d, a: da_update(
+                    d,
+                    a,
+                    target=cfg.target_accept,
+                    gamma=cfg.da_gamma,
+                    t0=cfg.da_t0,
+                    kappa=cfg.da_kappa,
+                )
+            )(carry["da"], info.accept_prob)
+
+            wf = jax.vmap(welford_update)(carry["wf"], q)
+            wf = jax.tree.map(
+                lambda new, old: jnp.where(slow, new, old), wf, carry["wf"]
+            )
+
+            # window close: set mass from variance, reset welford, restart DA
+            new_inv_mass = jax.vmap(welford_variance)(wf)
+            inv_mass = jnp.where(
+                wend & cfg.adapt_mass, new_inv_mass, carry["inv_mass"]
+            )
+            wf = jax.tree.map(
+                lambda z, w: jnp.where(wend, z, w), wf0, wf
+            )
+            da_restart = jax.vmap(da_init)(jnp.exp(da.log_step))
+            da = jax.tree.map(
+                lambda r, d: jnp.where(wend, r, d), da_restart, da
+            )
+
+            carry = dict(
+                q=q,
+                U=U,
+                grad=grad,
+                key=k_next,
+                inv_mass=inv_mass,
+                da=da,
+                wf=wf,
+                n_evals=carry["n_evals"] + jnp.sum(info.num_grad_evals),
+            )
+            return carry, info.accept_prob
+
+        carry, accepts = lax.scan(one_step, carry, (is_slow, window_end))
+        final_step = jnp.exp(carry["da"].log_step_avg)
+        new_state = ChainState(
+            q=carry["q"],
+            U=carry["U"],
+            grad=carry["grad"],
+            key=carry["key"],
+            step_size=final_step,
+            inv_mass=carry["inv_mass"],
+        )
+        return new_state, WarmupInfo(accepts, final_step, carry["n_evals"])
+
+    return _warmup(state)
+
+
+class SampleBatch(NamedTuple):
+    q: jnp.ndarray  # (num_samples, chains, dim)
+    accept_prob: jnp.ndarray
+    num_grad_evals: jnp.ndarray  # (num_samples, chains)
+    diverging: jnp.ndarray
+
+
+def sample_nuts(
+    potential: Callable, state: ChainState, num_samples: int, cfg: MCMCRunConfig
+) -> tuple[ChainState, SampleBatch]:
+    """Draw ``num_samples`` per chain (no adaptation)."""
+    pg = jax.value_and_grad(potential)
+    nuts_config = _nuts_cfg(cfg)
+
+    @jax.jit
+    def _sample(state: ChainState):
+        def one_step(carry: ChainState, _):
+            keys = jax.vmap(jax.random.split)(carry.key)
+            k_step, k_next = keys[:, 0], keys[:, 1]
+            q, U, grad, info = jax.vmap(
+                lambda q, U, g, k, s, im: nuts_step(pg, q, U, g, k, s, im, nuts_config)
+            )(carry.q, carry.U, carry.grad, k_step, carry.step_size, carry.inv_mass)
+            new = ChainState(q, U, grad, k_next, carry.step_size, carry.inv_mass)
+            return new, (q, info.accept_prob, info.num_grad_evals, info.diverging)
+
+        final, (qs, acc, nev, div) = lax.scan(one_step, state, None, length=num_samples)
+        return final, SampleBatch(qs, acc, nev, div)
+
+    return _sample(state)
+
+
+def run_nuts(
+    potential: Callable,
+    q0: jnp.ndarray,
+    cfg: MCMCRunConfig = MCMCRunConfig(),
+) -> tuple[ChainState, SampleBatch, WarmupInfo]:
+    """Warmup + sampling in one call. q0: (chains, dim)."""
+    state = init_chains(potential, q0, cfg)
+    state, winfo = warmup_nuts(potential, state, cfg)
+    state, batch = sample_nuts(potential, state, cfg.num_samples, cfg)
+    return state, batch, winfo
+
+
+def run_nuts_checkpointed(
+    potential: Callable,
+    q0: jnp.ndarray,
+    cfg: MCMCRunConfig,
+    checkpoint_dir: str,
+    nbatch: int = 100,
+    callback: Optional[Callable] = None,
+) -> dict:
+    """Elastic checkpointed sampling (reference ``train_bayesian_flow``).
+
+    Warm up once, then draw ``nbatch`` samples per chain per round,
+    appending to an on-disk posterior until ``cfg.num_samples`` per chain
+    are collected. A killed run resumes from the last completed round:
+    state and posterior live in ``checkpoint_dir`` as pytree .npz files.
+    Returns ``{"q": (total, chains, dim), ...}`` as numpy arrays.
+    """
+    import os
+
+    from naz_tpu.io.checkpoint import load_pytree, save_pytree
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    state_file = os.path.join(checkpoint_dir, "mcmc_state.npz")
+    posterior_file = os.path.join(checkpoint_dir, "posterior.npz")
+
+    state = init_chains(potential, q0, cfg)
+    if os.path.exists(state_file):
+        state = load_pytree(state_file, state)
+        posterior = None
+        if os.path.exists(posterior_file):
+            post_np = np.load(posterior_file)
+            posterior = {k: post_np[k] for k in post_np.files}
+    else:
+        state, _ = warmup_nuts(potential, state, cfg)
+        save_pytree(state_file, state)
+        posterior = None
+
+    collected = 0 if posterior is None else posterior["q"].shape[0]
+    while collected < cfg.num_samples:
+        n = min(nbatch, cfg.num_samples - collected)
+        state, batch = sample_nuts(potential, state, n, cfg)
+        new = {
+            "q": np.asarray(batch.q),
+            "accept_prob": np.asarray(batch.accept_prob),
+            "num_grad_evals": np.asarray(batch.num_grad_evals),
+            "diverging": np.asarray(batch.diverging),
+        }
+        if posterior is None:
+            posterior = new
+        else:
+            posterior = {
+                k: np.concatenate([posterior[k], new[k]], axis=0) for k in posterior
+            }
+        collected = posterior["q"].shape[0]
+        # state first, then posterior: a crash between the two writes loses
+        # at most one batch of draws, never double-counts
+        save_pytree(state_file, state)
+        np.savez(posterior_file, **posterior)
+        if callback is not None:
+            callback(collected, posterior)
+    return posterior

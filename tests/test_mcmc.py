@@ -1,0 +1,132 @@
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from naz_tpu.mcmc import (
+    MCMCRunConfig,
+    effective_sample_size,
+    run_nuts,
+    split_rhat,
+)
+from naz_tpu.mcmc.hmc import HMCConfig, hmc_step, find_reasonable_step_size
+from naz_tpu.mcmc.run import init_chains, run_nuts_checkpointed, sample_nuts, warmup_nuts
+
+
+def _std_normal_potential(dim):
+    return lambda q: 0.5 * jnp.sum(q * q)
+
+
+def test_nuts_standard_normal():
+    dim, chains = 5, 4
+    pot = _std_normal_potential(dim)
+    q0 = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (chains, dim))
+    cfg = MCMCRunConfig(num_warmup=300, num_samples=400, num_chains=chains, seed=0)
+    _, batch, winfo = run_nuts(pot, q0, cfg)
+    q = batch.q  # (n, chains, dim)
+    flat = np.asarray(q).reshape(-1, dim)
+    np.testing.assert_allclose(flat.mean(0), np.zeros(dim), atol=0.1)
+    np.testing.assert_allclose(flat.var(0), np.ones(dim), atol=0.2)
+    rhat = np.asarray(split_rhat(q))
+    assert (rhat < 1.05).all(), rhat
+    assert float(np.asarray(batch.diverging).mean()) < 0.01
+    # acceptance should be near the 0.8 target
+    assert 0.6 < float(np.asarray(batch.accept_prob).mean()) < 0.99
+
+
+def test_nuts_anisotropic_gaussian_mass_adaptation():
+    """Scales spanning 100x: only works if the mass matrix adapts."""
+    scales = jnp.array([0.1, 1.0, 10.0])
+    pot = lambda q: 0.5 * jnp.sum((q / scales) ** 2)
+    q0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (4, 3))
+    cfg = MCMCRunConfig(num_warmup=500, num_samples=500, num_chains=4, seed=1)
+    state, batch, _ = run_nuts(pot, q0, cfg)
+    flat = np.asarray(batch.q).reshape(-1, 3)
+    np.testing.assert_allclose(flat.std(0), np.asarray(scales), rtol=0.25)
+    # adapted inverse mass should approximate the marginal variances
+    inv_mass = np.asarray(state.inv_mass)
+    ratio = inv_mass / np.asarray(scales**2)
+    assert (ratio > 0.3).all() and (ratio < 3.0).all(), inv_mass
+
+
+def test_nuts_correlated_gaussian_moments():
+    cov = jnp.array([[1.0, 0.7], [0.7, 1.0]])
+    prec = jnp.linalg.inv(cov)
+    pot = lambda q: 0.5 * q @ prec @ q
+    q0 = jax.random.normal(jax.random.PRNGKey(2), (4, 2))
+    cfg = MCMCRunConfig(num_warmup=400, num_samples=600, num_chains=4, seed=2)
+    _, batch, _ = run_nuts(pot, q0, cfg)
+    flat = np.asarray(batch.q).reshape(-1, 2)
+    emp_cov = np.cov(flat.T)
+    np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.15)
+
+
+def test_hmc_step_standard_normal():
+    pot = _std_normal_potential(3)
+    pg = jax.value_and_grad(pot)
+    q = jnp.zeros(3)
+    U, grad = pg(q)
+    qs = []
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def step(q, U, grad, key):
+        key, sub = jax.random.split(key)
+        q, U, grad, info = hmc_step(
+            pg, q, U, grad, sub, 0.5, jnp.ones(3), HMCConfig(num_steps=8)
+        )
+        return q, U, grad, key, info
+
+    for _ in range(500):
+        q, U, grad, key, info = step(q, U, grad, key)
+        qs.append(q)
+    qs = np.asarray(jnp.stack(qs))[100:]
+    np.testing.assert_allclose(qs.mean(0), np.zeros(3), atol=0.2)
+    np.testing.assert_allclose(qs.var(0), np.ones(3), atol=0.35)
+
+
+def test_find_reasonable_step_size_finite():
+    pot = _std_normal_potential(4)
+    pg = jax.value_and_grad(pot)
+    step = find_reasonable_step_size(
+        pg, jnp.zeros(4) + 0.1, jax.random.PRNGKey(0), jnp.ones(4)
+    )
+    assert np.isfinite(float(step)) and float(step) > 0
+
+
+def test_effective_sample_size_iid():
+    x = np.random.default_rng(0).normal(size=(1000, 4))
+    ess = float(effective_sample_size(x))
+    assert 2500 < ess < 5500  # ~n*m for iid
+
+
+def test_checkpoint_resume_continues(tmp_path):
+    pot = _std_normal_potential(2)
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (2, 2))
+    cfg = MCMCRunConfig(num_warmup=100, num_samples=60, num_chains=2, seed=3)
+    d = str(tmp_path / "ckpt")
+
+    # uninterrupted run
+    post_full = run_nuts_checkpointed(pot, q0, cfg, d, nbatch=20)
+    assert post_full["q"].shape == (60, 2, 2)
+
+    # interrupted run in a fresh dir: stop after 1 batch, then resume
+    d2 = str(tmp_path / "ckpt2")
+
+    class Stop(Exception):
+        pass
+
+    def bomb(collected, _):
+        if collected >= 20:
+            raise Stop
+
+    with pytest.raises(Stop):
+        run_nuts_checkpointed(pot, q0, cfg, d2, nbatch=20, callback=bomb)
+    post_resumed = run_nuts_checkpointed(pot, q0, cfg, d2, nbatch=20)
+    assert post_resumed["q"].shape == (60, 2, 2)
+    # the resumed chain must continue, not restart: first 20 draws match the
+    # interrupted run's, later draws exist and differ from the first batch
+    np.testing.assert_array_equal(post_resumed["q"][:20], post_full["q"][:20])
+    assert not np.allclose(post_resumed["q"][20:40], post_resumed["q"][:20])
