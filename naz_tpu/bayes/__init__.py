@@ -2,5 +2,18 @@ from naz_tpu.bayes.wrapper import (
     BayesianFlow,
     make_flow_loglik,
 )
+from naz_tpu.bayes.exact import fit_nuts
+from naz_tpu.bayes.svi import SVIConfig, SVIResult, fit_svi, sample_svi_posterior
+from naz_tpu.bayes.importance import EvidenceResult, importance_evidence
 
-__all__ = ["BayesianFlow", "make_flow_loglik"]
+__all__ = [
+    "BayesianFlow",
+    "make_flow_loglik",
+    "fit_nuts",
+    "SVIConfig",
+    "SVIResult",
+    "fit_svi",
+    "sample_svi_posterior",
+    "EvidenceResult",
+    "importance_evidence",
+]

@@ -1,0 +1,93 @@
+"""Importance-sampling evidence and effective sample size.
+
+Capability parity with the reference's pyro path (``train_importance``,
+``/root/reference/src/naz/trainers/train_flows.py:358-380`` — the paper's
+"SVI + IS evidence" model-comparison tool), but vectorized: particles are a
+``vmap``-ed axis (the reference loops on the host), and the weight
+reductions are ``logsumexp``-based so they shard as psum over particle
+shards on a mesh.
+
+With the SVI guide as proposal: ``log w_i = log p(data | params_i) +
+log p(params_i) - log q(params_i)``; evidence ``log Z = logsumexp(log w) -
+log n``; normalized ESS ``(sum w)^2 / sum w^2``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from naz_tpu.bayes.svi import SVIResult, guide_log_prob, sample_svi_posterior
+from naz_tpu.bayes.wrapper import BayesianFlow
+
+
+class EvidenceResult(NamedTuple):
+    log_evidence: float
+    log_evidence_se: float  # delta-method standard error
+    ess: float  # effective sample size of the weights
+    num_samples: int
+    log_weights: np.ndarray
+
+
+def importance_evidence(
+    bayes_flow: BayesianFlow,
+    svi_result: Optional[SVIResult],
+    key,
+    num_samples: int = 1000,
+    batch_size: Optional[int] = None,
+) -> EvidenceResult:
+    """Estimate the model evidence by importance sampling.
+
+    With ``svi_result`` the proposal is the fitted guide (the reference's
+    ``Importance(model, guide=...)``); without it the prior is the proposal
+    (``guide=None`` in the reference).
+    """
+    bf = bayes_flow
+    key = jnp.asarray(key) if not hasattr(key, "dtype") else key
+    P = bf.num_weights
+    log_prior_std = -P * jnp.log(2.0)
+
+    def log_weight_batch(k, n):
+        if svi_result is not None:
+            draws = sample_svi_posterior(bf, svi_result, k, n)
+            log_q = guide_log_prob(
+                bf, svi_result, draws["standard"],
+                None if bf.fixed_scale else draws["scale"],
+            )
+        else:
+            draws = bf.sample_prior(k, n)
+            # proposal == prior -> log q == log prior; weights reduce to ll
+            log_q = jnp.full((n,), log_prior_std)
+        log_prior = log_prior_std
+        if not bf.fixed_scale:
+            log_prior = log_prior - jnp.log(bf.scale_max)
+            if svi_result is None:
+                log_q = log_q - jnp.log(bf.scale_max)
+        ll = jax.vmap(bf.log_likelihood_flat)(draws["params_flat"])
+        return ll + log_prior - log_q
+
+    batch_size = batch_size or num_samples
+    n_batches = -(-num_samples // batch_size)
+    keys = jax.random.split(key, n_batches)
+    lw = jnp.concatenate(
+        [jax.jit(log_weight_batch, static_argnums=1)(k, batch_size) for k in keys]
+    )[:num_samples]
+
+    n = lw.shape[0]
+    log_z = logsumexp(lw) - jnp.log(n)
+    log_w2 = logsumexp(2.0 * lw)
+    ess = jnp.exp(2.0 * logsumexp(lw) - log_w2)
+    # var(Z_hat)/Z_hat^2 ~ (1/ess - 1/n); se of log Z via delta method
+    rel_var = jnp.maximum(1.0 / ess - 1.0 / n, 0.0)
+    log_z_se = jnp.sqrt(rel_var)
+    return EvidenceResult(
+        log_evidence=float(log_z),
+        log_evidence_se=float(log_z_se),
+        ess=float(ess),
+        num_samples=int(n),
+        log_weights=np.asarray(lw),
+    )

@@ -1,0 +1,196 @@
+"""Stochastic variational inference over flow weights.
+
+Capability parity with the reference SVI path: mean-field
+``TruncatedNormal(mu_q, sigma_q, [-1, 1])`` guide over the standardized
+weights (``/root/reference/src/naz/flows/bflow_jax_maf.py:248-258``),
+optimized with Adam / Trace-ELBO (``train_bayesian_flow_svi``,
+``bflow_jax_maf.py:344-353``; defaults 7000 steps, step size 5e-3 from
+``examples/papers/2506.05657/svi_maf_exact.py:129``).
+
+TPU-first differences:
+
+* we own the ELBO: reparameterized truncated-normal particles, ``vmap``-ed
+  over a particle axis (the reference uses a single Trace_ELBO particle);
+  particles and the data axis both shard over the mesh;
+* the optimization loop runs in jitted ``lax.scan`` chunks like the MLE
+  trainer — no per-step host round trips;
+* guide parameters are unconstrained (tanh/sigmoid reparameterizations of
+  the reference's (-0.95, 0.95) / (0, 1) box constraints), so plain Adam
+  applies without projection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from naz_tpu.bayes.wrapper import BayesianFlow
+from naz_tpu.distributions import TruncatedNormal
+
+_MU_BOUND = 0.95
+
+
+@dataclasses.dataclass(frozen=True)
+class SVIConfig:
+    num_steps: int = 7000
+    step_size: float = 5e-3
+    num_particles: int = 1
+    init_sigma: float = 0.1
+    seed: int = 0
+    sync_every: int = 100
+    verbose: bool = False
+
+
+class SVIResult(NamedTuple):
+    guide_params: dict  # constrained mu/sigma (and scale guide if free)
+    losses: np.ndarray  # -ELBO trace
+    raw_params: dict  # unconstrained optimization variables
+
+
+def _guide_constrain(raw: dict) -> dict:
+    out = {
+        "mu": _MU_BOUND * jnp.tanh(raw["mu_u"]),
+        "sigma": jax.nn.sigmoid(raw["sigma_u"]),
+    }
+    if "scale_mu_u" in raw:
+        out["scale_mu"] = jax.nn.sigmoid(raw["scale_mu_u"])  # in (0,1), x scale_max
+        out["scale_sigma"] = jax.nn.sigmoid(raw["scale_sigma_u"])
+    return out
+
+
+def _guide_dist(g: dict) -> TruncatedNormal:
+    return TruncatedNormal(g["mu"], g["sigma"], -1.0, 1.0)
+
+
+def fit_svi(
+    bayes_flow: BayesianFlow, cfg: SVIConfig = SVIConfig()
+) -> SVIResult:
+    """Optimize the mean-field guide; returns guide params + loss trace."""
+    import optax
+
+    bf = bayes_flow
+    P = bf.num_weights
+    if not bf.fixed_scale and bf.multi_scale:
+        raise NotImplementedError("multi_scale SVI guide not implemented yet")
+
+    raw0 = {
+        "mu_u": jnp.zeros(P),
+        "sigma_u": jnp.full((P,), _inv_sigmoid(cfg.init_sigma)),
+    }
+    if not bf.fixed_scale:
+        raw0["scale_mu_u"] = jnp.zeros(())
+        raw0["scale_sigma_u"] = jnp.full((), _inv_sigmoid(0.1))
+
+    opt = optax.adam(cfg.step_size)
+    opt_state0 = opt.init(raw0)
+
+    def neg_elbo(raw, key):
+        g = _guide_constrain(raw)
+        q = _guide_dist(g)
+
+        def one_particle(k):
+            k_std, k_scale = jax.random.split(k)
+            std = q.sample(k_std, (P,))
+            log_q = jnp.sum(q.log_prob(std))
+            log_prior = -P * jnp.log(2.0)  # U(-1,1)^P
+            if bf.fixed_scale:
+                scale = jnp.asarray(bf.scale_max)
+            else:
+                qs = TruncatedNormal(
+                    bf.scale_max * g["scale_mu"],
+                    bf.scale_max * g["scale_sigma"],
+                    0.0,
+                    bf.scale_max,
+                )
+                scale = qs.sample(k_scale, ())
+                log_q = log_q + qs.log_prob(scale)
+                log_prior = log_prior - jnp.log(bf.scale_max)  # U(0, scale_max)
+            params_flat = bf._flat_mle * (1.0 + scale * std)
+            ll = bf.log_likelihood_flat(params_flat)
+            return ll + log_prior - log_q
+
+        keys = jax.random.split(key, cfg.num_particles)
+        return -jnp.mean(jax.vmap(one_particle)(keys))
+
+    def step(carry, _):
+        raw, opt_state, key = carry
+        key, k = jax.random.split(key)
+        loss, grads = jax.value_and_grad(neg_elbo)(raw, k)
+        updates, opt_state = opt.update(grads, opt_state)
+        raw = optax.apply_updates(raw, updates)
+        return (raw, opt_state, key), loss
+
+    @jax.jit
+    def chunk(carry):
+        return lax.scan(step, carry, None, length=cfg.sync_every)
+
+    carry = (raw0, opt_state0, jax.random.PRNGKey(cfg.seed))
+    losses = []
+    n_chunks = -(-cfg.num_steps // cfg.sync_every)
+    for i in range(n_chunks):
+        carry, chunk_losses = chunk(carry)
+        losses.append(chunk_losses)
+        if cfg.verbose:
+            print(f"svi step {(i + 1) * cfg.sync_every}: -elbo {float(chunk_losses[-1]):.2f}")
+
+    raw, _, _ = carry
+    return SVIResult(
+        guide_params=jax.tree.map(np.asarray, _guide_constrain(raw)),
+        losses=np.asarray(jnp.concatenate(losses))[: cfg.num_steps],
+        raw_params=jax.tree.map(np.asarray, raw),
+    )
+
+
+def sample_svi_posterior(
+    bayes_flow: BayesianFlow, result: SVIResult, key, num_samples: int
+) -> dict:
+    """Posterior draws from the fitted guide (reference ``Predictive(guide)``
+    path, ``bflow_jax_maf.py:350-353``)."""
+    bf = bayes_flow
+    g = jax.tree.map(jnp.asarray, result.guide_params)
+    q = _guide_dist(g)
+    k_std, k_scale = jax.random.split(jnp.asarray(key))
+    std = q.sample(k_std, (num_samples, bf.num_weights))
+    if bf.fixed_scale:
+        scale = jnp.full((num_samples,), bf.scale_max)
+    else:
+        qs = TruncatedNormal(
+            bf.scale_max * g["scale_mu"],
+            bf.scale_max * g["scale_sigma"],
+            0.0,
+            bf.scale_max,
+        )
+        scale = qs.sample(k_scale, (num_samples,))
+    params_flat = bf._flat_mle * (1.0 + scale[:, None] * std)
+    return {
+        "standard": std,
+        "scale": scale,
+        "params_flat": params_flat,
+        "params": jax.vmap(bf.unravel)(params_flat),
+    }
+
+
+def guide_log_prob(bayes_flow: BayesianFlow, result: SVIResult, std, scale=None):
+    """log q(standard[, scale]) under the fitted guide — used by the
+    importance-sampling evidence module."""
+    bf = bayes_flow
+    g = jax.tree.map(jnp.asarray, result.guide_params)
+    lp = jnp.sum(_guide_dist(g).log_prob(std), axis=-1)
+    if not bf.fixed_scale:
+        qs = TruncatedNormal(
+            bf.scale_max * g["scale_mu"],
+            bf.scale_max * g["scale_sigma"],
+            0.0,
+            bf.scale_max,
+        )
+        lp = lp + qs.log_prob(scale)
+    return lp
+
+
+def _inv_sigmoid(p: float) -> float:
+    return float(np.log(p / (1.0 - p)))

@@ -1,5 +1,6 @@
 from naz_tpu.flows.flow import Flow
 from naz_tpu.flows.maf import MaskedAutoregressiveFlow
+from naz_tpu.flows.spline import SplineAutoregressiveFlow, SplineCoupling
 
 
 def maf_flow(
@@ -12,14 +13,89 @@ def maf_flow(
     embedding=None,
     seed: int = 0,
     invert: bool = False,
+    dropout_rate: float = 0.0,
 ) -> Flow:
     """Convenience factory mirroring the reference's ``flow_type="maf"``
     (``/root/reference/src/naz/flows/flow.py:21-42``): a Flow with a single
     stacked-MAF transform."""
     t = MaskedAutoregressiveFlow.create(
-        dim, n_layers, hidden_dims, context_dim, seed=seed, invert=invert
+        dim,
+        n_layers,
+        hidden_dims,
+        context_dim,
+        seed=seed,
+        invert=invert,
+        dropout_rate=dropout_rate,
     )
     return Flow(dim=dim, transforms=(t,), bounds=bounds, embedding=embedding)
 
 
-__all__ = ["Flow", "MaskedAutoregressiveFlow", "maf_flow"]
+def nsa_flow(
+    dim: int,
+    n_layers: int,
+    hidden_dims,
+    context_dim: int = 0,
+    *,
+    count_bins: int = 8,
+    bound: float = 5.0,
+    bounds=None,
+    embedding=None,
+    seed: int = 0,
+    invert: bool = False,
+    dropout_rate: float = 0.0,
+) -> Flow:
+    """Neural-spline autoregressive flow (reference ``flow_type="nsa"``,
+    ``/root/reference/src/naz/flows/transforms.py:165-198``)."""
+    t = SplineAutoregressiveFlow.create(
+        dim,
+        n_layers,
+        hidden_dims,
+        context_dim,
+        seed=seed,
+        count_bins=count_bins,
+        bound=bound,
+        invert=invert,
+        dropout_rate=dropout_rate,
+    )
+    return Flow(dim=dim, transforms=(t,), bounds=bounds, embedding=embedding)
+
+
+def nsc_flow(
+    dim: int,
+    n_layers: int,
+    hidden_dims,
+    context_dim: int = 0,
+    *,
+    split_dim=None,
+    count_bins: int = 8,
+    bound: float = 5.0,
+    bounds=None,
+    embedding=None,
+    seed: int = 0,
+    dropout_rate: float = 0.0,
+) -> Flow:
+    """Neural-spline coupling flow (intended behavior of the reference's
+    broken ``flow_type="nsc"``, ``transforms.py:201-236``)."""
+    t = SplineCoupling.create(
+        dim,
+        n_layers,
+        hidden_dims,
+        context_dim,
+        split_dim=split_dim,
+        count_bins=count_bins,
+        bound=bound,
+        dropout_rate=dropout_rate,
+        seed=seed,
+    )
+    return Flow(dim=dim, transforms=(t,), bounds=bounds, embedding=embedding)
+
+
+__all__ = [
+    "Flow",
+    "MaskedAutoregressiveFlow",
+    "SplineAutoregressiveFlow",
+    "SplineCoupling",
+    "maf_flow",
+    "nsa_flow",
+    "nsc_flow",
+]

@@ -61,22 +61,27 @@ class Flow:
 
     # -- density -----------------------------------------------------------
 
-    def log_prob(self, params, x, context=None):
-        """log p(x | context); shape = broadcast batch shape of x/context."""
+    def log_prob(self, params, x, context=None, dropout_key=None):
+        """log p(x | context); shape = broadcast batch shape of x/context.
+
+        ``dropout_key`` activates MC-dropout in transforms built with a
+        nonzero dropout rate (one mask realization per key).
+        """
         x = jnp.asarray(x)
         ld = jnp.zeros(x.shape[:-1], dtype=x.dtype)
         if self.bounds is not None:
             x, d = bounding_transform(x, *self.bounds)
             ld = ld + d
         context = self._embed(params, context)
-        for t, p in zip(self.transforms, params["transforms"]):
-            x, d = t.forward(p, x, context=context)
+        for i, (t, p) in enumerate(zip(self.transforms, params["transforms"])):
+            k = None if dropout_key is None else jax.random.fold_in(dropout_key, i)
+            x, d = t.forward(p, x, context=context, dropout_key=k)
             ld = ld + d
         return standard_normal_logpdf(x) + ld
 
-    def bounded_log_prob(self, params, x, context=None):
+    def bounded_log_prob(self, params, x, context=None, dropout_key=None):
         """log_prob with -inf outside the box (reference ``flow.py:81-87``)."""
-        lp = self.log_prob(params, x, context=context)
+        lp = self.log_prob(params, x, context=context, dropout_key=dropout_key)
         if self.bounds is None:
             return lp
         low, high = self.bounds
@@ -88,11 +93,13 @@ class Flow:
 
     # -- sampling ----------------------------------------------------------
 
-    def sample(self, params, key, n: int, context=None):
-        x, _ = self.sample_and_log_prob(params, key, n, context=context)
+    def sample(self, params, key, n: int, context=None, dropout_key=None):
+        x, _ = self.sample_and_log_prob(
+            params, key, n, context=context, dropout_key=dropout_key
+        )
         return x
 
-    def sample_and_log_prob(self, params, key, n: int, context=None):
+    def sample_and_log_prob(self, params, key, n: int, context=None, dropout_key=None):
         """Draw n samples; returns (samples, log_prob at the samples).
 
         Conditional use mirrors the reference sampler
@@ -104,8 +111,16 @@ class Flow:
         lp = standard_normal_logpdf(z)
         context = self._embed(params, context)
         x = z
-        for t, p in zip(reversed(self.transforms), reversed(params["transforms"])):
-            x, d = t.inverse(p, x, context=context)
+        n_t = len(self.transforms)
+        for i, (t, p) in enumerate(
+            zip(reversed(self.transforms), reversed(params["transforms"]))
+        ):
+            k = (
+                None
+                if dropout_key is None
+                else jax.random.fold_in(dropout_key, n_t - 1 - i)
+            )
+            x, d = t.inverse(p, x, context=context, dropout_key=k)
             lp = lp - d
         if self.bounds is not None:
             x, d = inverse_bounding_transform(x, *self.bounds)

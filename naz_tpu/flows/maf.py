@@ -50,6 +50,7 @@ class MaskedAutoregressiveFlow:
     activation: Callable = jnp.tanh
     log_scale_clip: Tuple[float, float] = (-5.0, 3.0)
     invert: bool = False
+    dropout_rate: float = 0.0
 
     # -- construction ------------------------------------------------------
 
@@ -65,6 +66,7 @@ class MaskedAutoregressiveFlow:
         activation: Callable = jnp.tanh,
         log_scale_clip: Tuple[float, float] = (-5.0, 3.0),
         invert: bool = False,
+        dropout_rate: float = 0.0,
     ) -> "MaskedAutoregressiveFlow":
         if permutations is None:
             permutations = random_permutations(np.random.default_rng(seed), dim, n_layers)
@@ -87,6 +89,7 @@ class MaskedAutoregressiveFlow:
             activation=activation,
             log_scale_clip=log_scale_clip,
             invert=invert,
+            dropout_rate=dropout_rate,
         )
 
     def init_params(self, key, scale: float = 1e-2):
@@ -97,7 +100,7 @@ class MaskedAutoregressiveFlow:
         ``1e-5``-scaled final layer (``bflow_jax_maf.py:273``).
         """
         cin = self.context_dim + self.dim
-        widths = [cin, *self.hidden_dims, 2 * self.dim]
+        widths = [cin, *self.hidden_dims, self.n_param_blocks * self.dim]
         params = []
         keys = jax.random.split(key, len(widths) - 1)
         for k, (fan_in, fan_out) in zip(keys, zip(widths[:-1], widths[1:])):
@@ -111,113 +114,143 @@ class MaskedAutoregressiveFlow:
             params.append({"w": w, "b": jnp.zeros((self.n_layers, fan_out))})
         return tuple(params)
 
-    # -- conditioner -------------------------------------------------------
+    # -- conditioner & elementwise map (overridden by spline variants) ----
 
-    def _conditioner(self, x, layer_params, layer_masks, context):
-        mu, log_s = made_mlp(
+    # number of conditioner output blocks per feature (affine: mu, log_s)
+    @property
+    def n_param_blocks(self) -> int:
+        return 2
+
+    def _conditioner(self, x, layer_params, layer_masks, context, dropout_key=None):
+        return made_mlp(
             x,
             layer_params,
             layer_masks,
             context=context,
             activation=self.activation,
-            n_params=2,
+            n_params=self.n_param_blocks,
+            dropout_rate=self.dropout_rate,
+            dropout_key=dropout_key,
         )
-        lo, hi = self.log_scale_clip
-        return mu, jnp.clip(log_s, lo, hi)
+
+    def _elem_fwd(self, x, blocks):
+        """Elementwise map x -> z given conditioner blocks; (z, sum logdet)."""
+        mu, log_s = blocks
+        log_s = jnp.clip(log_s, *self.log_scale_clip)
+        return (x - mu) * jnp.exp(-log_s), -jnp.sum(log_s, axis=-1)
+
+    def _elem_inv(self, z, blocks):
+        """Elementwise map z -> x given conditioner blocks; (x, sum logdet)."""
+        mu, log_s = blocks
+        log_s = jnp.clip(log_s, *self.log_scale_clip)
+        return mu + z * jnp.exp(log_s), jnp.sum(log_s, axis=-1)
 
     # -- primitive directions (ignore `invert`) ----------------------------
 
-    def _one_pass(self, params, x, context):
+    def _layer_keys(self, dropout_key):
+        """Per-flow-layer dropout keys as scan xs (None -> no dropout)."""
+        if dropout_key is None or self.dropout_rate == 0.0:
+            return None
+        return jax.vmap(lambda i: jax.random.fold_in(dropout_key, i))(
+            jnp.arange(self.n_layers)
+        )
+
+    def _one_pass(self, params, x, context, dropout_key=None):
         """data -> latent in one conditioner pass per layer (fast density)."""
+        keys = self._layer_keys(dropout_key)
 
         def body(carry, xs):
             x, ld = carry
-            layer_params, layer_masks = xs
-            mu, log_s = self._conditioner(x, layer_params, layer_masks, context)
-            z = (x - mu) * jnp.exp(-log_s)
-            return (z, ld - jnp.sum(log_s, axis=-1)), None
+            layer_params, layer_masks, k = xs
+            blocks = self._conditioner(x, layer_params, layer_masks, context, k)
+            z, d = self._elem_fwd(x, blocks)
+            return (z, ld + d), None
 
         init = (x, jnp.zeros(x.shape[:-1], dtype=x.dtype))
-        (z, ld), _ = lax.scan(body, init, (params, self.masks))
+        (z, ld), _ = lax.scan(body, init, (params, self.masks, keys))
         return z, ld
 
-    def _sequential(self, params, z, context):
-        """latent -> data via dim full-vector passes per layer."""
+    def _sequential(self, params, z, context, dropout_key=None):
+        """latent -> data via dim full-vector passes per layer: solve
+        elem_fwd(x, cond(x)) = z by fixed-point iteration in degree order."""
+        keys = self._layer_keys(dropout_key)
 
         def body(carry, xs):
             z, ld = carry
-            layer_params, layer_masks = xs
+            layer_params, layer_masks, k = xs
 
-            def one_update(x):
-                mu, log_s = self._conditioner(x, layer_params, layer_masks, context)
-                return mu, log_s
+            def solve(x):
+                blocks = self._conditioner(x, layer_params, layer_masks, context, k)
+                return self._elem_inv(z, blocks)
 
-            def pass_fn(_, x):
-                mu, log_s = one_update(x)
-                return mu + z * jnp.exp(log_s)
-
-            x = lax.fori_loop(0, self.dim - 1, pass_fn, jnp.zeros_like(z))
-            mu, log_s = one_update(x)
-            x = mu + z * jnp.exp(log_s)
-            return (x, ld + jnp.sum(log_s, axis=-1)), None
+            x = lax.fori_loop(
+                0, self.dim - 1, lambda _, x: solve(x)[0], jnp.zeros_like(z)
+            )
+            x, d = solve(x)
+            return (x, ld + d), None
 
         init = (z, jnp.zeros(z.shape[:-1], dtype=z.dtype))
-        (x, ld), _ = lax.scan(body, init, (params, self.masks), reverse=True)
+        (x, ld), _ = lax.scan(body, init, (params, self.masks, keys), reverse=True)
         return x, ld
 
     # -- public API (honors `invert`) --------------------------------------
 
-    def forward(self, params, x, context=None):
+    def forward(self, params, x, context=None, dropout_key=None):
         """data -> latent, returns (z, log|det dz/dx|)."""
         context = self._prep_context(x, context)
         if self.invert:
             # Reference orientation: density goes through the sequential
             # direction; its per-layer map is x -> z with x = mu(z..)+...,
             # i.e. we must *solve* the one-pass map. Scan layers in reverse.
-            z, ld = self._sequential_as_forward(params, x, context)
+            z, ld = self._sequential_as_forward(params, x, context, dropout_key)
             return z, ld
-        return self._one_pass(params, x, context)
+        return self._one_pass(params, x, context, dropout_key)
 
-    def inverse(self, params, z, context=None):
+    def inverse(self, params, z, context=None, dropout_key=None):
         """latent -> data, returns (x, log|det dx/dz|)."""
         context = self._prep_context(z, context)
         if self.invert:
-            return self._one_pass_as_inverse(params, z, context)
-        return self._sequential(params, z, context)
+            return self._one_pass_as_inverse(params, z, context, dropout_key)
+        return self._sequential(params, z, context, dropout_key)
 
     # The invert=True direction pair: the underlying per-layer map is
     # y = mu(x_prev) + x * exp(s(x_prev)) applied z->x when SAMPLING (one
     # pass, layer order 0..L-1), exactly `bflow_jax_maf.py:173-179`; density
     # solves it back layer L-1..0, `bflow_jax_maf.py:181-193`.
 
-    def _sequential_as_forward(self, params, y, context):
+    def _sequential_as_forward(self, params, y, context, dropout_key=None):
+        keys = self._layer_keys(dropout_key)
+
         def body(carry, xs):
             y, ld = carry
-            layer_params, layer_masks = xs
+            layer_params, layer_masks, k = xs
 
-            def pass_fn(_, x):
-                mu, log_s = self._conditioner(x, layer_params, layer_masks, context)
-                return (y - mu) * jnp.exp(-log_s)
+            def solve(x):
+                blocks = self._conditioner(x, layer_params, layer_masks, context, k)
+                return self._elem_fwd(y, blocks)
 
-            x = lax.fori_loop(0, self.dim - 1, pass_fn, jnp.zeros_like(y))
-            mu, log_s = self._conditioner(x, layer_params, layer_masks, context)
-            x = (y - mu) * jnp.exp(-log_s)
-            return (x, ld - jnp.sum(log_s, axis=-1)), None
+            x = lax.fori_loop(
+                0, self.dim - 1, lambda _, x: solve(x)[0], jnp.zeros_like(y)
+            )
+            x, d = solve(x)
+            return (x, ld + d), None
 
         init = (y, jnp.zeros(y.shape[:-1], dtype=y.dtype))
-        (x, ld), _ = lax.scan(body, init, (params, self.masks), reverse=True)
+        (x, ld), _ = lax.scan(body, init, (params, self.masks, keys), reverse=True)
         return x, ld
 
-    def _one_pass_as_inverse(self, params, z, context):
+    def _one_pass_as_inverse(self, params, z, context, dropout_key=None):
+        keys = self._layer_keys(dropout_key)
+
         def body(carry, xs):
             x, ld = carry
-            layer_params, layer_masks = xs
-            mu, log_s = self._conditioner(x, layer_params, layer_masks, context)
-            y = mu + x * jnp.exp(log_s)
-            return (y, ld + jnp.sum(log_s, axis=-1)), None
+            layer_params, layer_masks, k = xs
+            blocks = self._conditioner(x, layer_params, layer_masks, context, k)
+            y, d = self._elem_inv(x, blocks)
+            return (y, ld + d), None
 
         init = (z, jnp.zeros(z.shape[:-1], dtype=z.dtype))
-        (y, ld), _ = lax.scan(body, init, (params, self.masks))
+        (y, ld), _ = lax.scan(body, init, (params, self.masks, keys))
         return y, ld
 
     def _prep_context(self, x, context):

@@ -39,6 +39,8 @@ def made_mlp(
     n_params: int = 2,
     skip_weight: Optional[jnp.ndarray] = None,
     skip_mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, ...]:
     """Evaluate one MADE conditioner.
 
@@ -53,6 +55,13 @@ def made_mlp(
         (the reference exposes ``skip_connections`` but its JAX path reuses the
         output weight, ``bflow_jax_maf.py:152-153``; we carry a dedicated
         weight so the option is actually well-formed).
+      dropout_rate/dropout_key: inverted dropout after every hidden
+        activation (the reference's MC-dropout conditioners,
+        ``src/naz/flows/transforms.py:29-95``). The mask depends only on the
+        hidden-layer index folded into ``dropout_key``, so repeated
+        conditioner evaluations inside the sequential inversion see
+        identical masks (a requirement the reference meets by bypassing
+        pyro's transform cache, ``mcdpflow.py:12-25``).
 
     Returns:
       tuple of ``n_params`` arrays, each (..., dim).
@@ -64,8 +73,14 @@ def made_mlp(
         h = x
     x_full = h
 
-    for layer, mask in zip(params[:-1], masks[:-1]):
+    use_dropout = dropout_rate > 0.0 and dropout_key is not None
+    for k, (layer, mask) in enumerate(zip(params[:-1], masks[:-1])):
         h = activation(masked_linear(h, layer["w"], layer["b"], mask))
+        if use_dropout:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(dropout_key, k), 1.0 - dropout_rate, h.shape
+            )
+            h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
     out = masked_linear(h, params[-1]["w"], params[-1]["b"], masks[-1])
 
     if skip_weight is not None:

@@ -1,0 +1,16 @@
+from naz_tpu.stats.statutils import (
+    hpd,
+    hpd_vectorized,
+    find_level,
+    equal_quantile_binning_nd,
+)
+from naz_tpu.stats.model_comparison import compute_bic, amplification
+
+__all__ = [
+    "hpd",
+    "hpd_vectorized",
+    "find_level",
+    "equal_quantile_binning_nd",
+    "compute_bic",
+    "amplification",
+]

@@ -50,6 +50,9 @@ class MLEConfig:
     seed: int = 0
     log_every: int = 100
     verbose: bool = False
+    # train with dropout active (flows built with dropout_rate > 0): each
+    # minibatch step draws a fresh dropout mask realization
+    dropout: bool = False
     # epochs executed per device program: the host only reads back the stop
     # flag once per chunk, so dispatch/transfer latency amortizes. Early stop
     # overshoots by < sync_every epochs (updates freeze once stop is set).
@@ -116,8 +119,8 @@ def train_mle(flow, x, context=None, config: MLEConfig = MLEConfig()) -> TrainRe
     params0 = flow.init_params(k_init)
     opt_state0 = opt.init(params0)
 
-    def nll(params, xb, cb):
-        lp = flow.log_prob(params, xb, context=cb)
+    def nll(params, xb, cb, dropout_key=None):
+        lp = flow.log_prob(params, xb, context=cb, dropout_key=dropout_key)
         loss = -jnp.mean(lp)
         if cfg.l1:
             loss = loss + cfg.l1 * sum(
@@ -132,23 +135,27 @@ def train_mle(flow, x, context=None, config: MLEConfig = MLEConfig()) -> TrainRe
         return opt_state
 
     def epoch_fn(state: _EpochState) -> tuple[_EpochState, jnp.ndarray, jnp.ndarray]:
-        key, k_shuf = jax.random.split(state.key)
+        key, k_shuf, k_drop = jax.random.split(state.key, 3)
         order = jax.random.permutation(k_shuf, n_tr)[: n_batches * batch]
         order = order.reshape(n_batches, batch)
+        drop_keys = (
+            jax.random.split(k_drop, n_batches) if cfg.dropout else None
+        )
 
         opt_state = set_lr(state.opt_state, state.lr)
 
-        def batch_step(carry, idx):
+        def batch_step(carry, xs):
+            idx, dk = xs
             params, opt_state = carry
             xb = x_tr[idx]
             cb = c_tr[idx] if c_tr is not None else None
-            loss, grads = jax.value_and_grad(nll)(params, xb, cb)
+            loss, grads = jax.value_and_grad(nll)(params, xb, cb, dk)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
         (params, opt_state), batch_losses = lax.scan(
-            batch_step, (state.params, opt_state), order
+            batch_step, (state.params, opt_state), (order, drop_keys)
         )
         train_loss = jnp.mean(batch_losses)
         val_loss = (
