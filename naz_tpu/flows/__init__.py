@@ -1,6 +1,7 @@
 from naz_tpu.flows.flow import Flow
 from naz_tpu.flows.maf import MaskedAutoregressiveFlow
 from naz_tpu.flows.spline import SplineAutoregressiveFlow, SplineCoupling
+from naz_tpu.flows.cnf import CNFTransform
 
 
 def maf_flow(
@@ -90,8 +91,33 @@ def nsc_flow(
     return Flow(dim=dim, transforms=(t,), bounds=bounds, embedding=embedding)
 
 
+def cnf_flow(
+    dim: int,
+    hidden_dims,
+    context_dim: int = 0,
+    *,
+    num_blocks: int = 1,
+    num_steps: int = 32,
+    trace: str = "exact",
+    bounds=None,
+    embedding=None,
+    seed: int = 0,
+) -> Flow:
+    """Continuous free-form flow (reference ``flow_type="cnf"``,
+    ``/root/reference/src/naz/flows/continuous_transforms.py:124-139``)."""
+    ts = tuple(
+        CNFTransform.create(
+            dim, hidden_dims, context_dim, num_steps=num_steps, trace=trace
+        )
+        for _ in range(num_blocks)
+    )
+    return Flow(dim=dim, transforms=ts, bounds=bounds, embedding=embedding)
+
+
 __all__ = [
     "Flow",
+    "CNFTransform",
+    "cnf_flow",
     "MaskedAutoregressiveFlow",
     "SplineAutoregressiveFlow",
     "SplineCoupling",

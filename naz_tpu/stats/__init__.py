@@ -5,6 +5,7 @@ from naz_tpu.stats.statutils import (
     equal_quantile_binning_nd,
 )
 from naz_tpu.stats.model_comparison import compute_bic, amplification
+from naz_tpu.stats.calibrate import calibrate, calibration_curve, posterior_predictive
 
 __all__ = [
     "hpd",
@@ -13,4 +14,7 @@ __all__ = [
     "equal_quantile_binning_nd",
     "compute_bic",
     "amplification",
+    "calibrate",
+    "calibration_curve",
+    "posterior_predictive",
 ]

@@ -198,8 +198,10 @@ def train_mle(flow, x, context=None, config: MLEConfig = MLEConfig()) -> TrainRe
         )
         return new_state, train_loss, val_loss
 
-    @jax.jit
-    def chunk_fn(state: _EpochState):
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def chunk_fn(state: _EpochState, length: int):
         def body(state, _):
             def run(state):
                 s, tr, vl = epoch_fn(state)
@@ -211,7 +213,7 @@ def train_mle(flow, x, context=None, config: MLEConfig = MLEConfig()) -> TrainRe
 
             return lax.cond(state.stop, frozen, run, state)
 
-        state, (tr, vl) = lax.scan(body, state, None, length=cfg.sync_every)
+        state, (tr, vl) = lax.scan(body, state, None, length=length)
         return state, tr, vl
 
     state = _EpochState(
@@ -231,7 +233,8 @@ def train_mle(flow, x, context=None, config: MLEConfig = MLEConfig()) -> TrainRe
     train_losses, val_losses = [], []
     n_chunks = -(-cfg.max_epochs // cfg.sync_every)
     for chunk in range(n_chunks):
-        state, tr, vl = chunk_fn(state)
+        length = min(cfg.sync_every, cfg.max_epochs - chunk * cfg.sync_every)
+        state, tr, vl = chunk_fn(state, length)
         train_losses.append(tr)
         val_losses.append(vl)
         if cfg.verbose:
