@@ -48,11 +48,13 @@ def importance_evidence(
     """
     bf = bayes_flow
     key = jnp.asarray(key) if not hasattr(key, "dtype") else key
-    P = bf.num_weights
-    log_prior_std = -P * jnp.log(2.0)
 
     def log_weight_batch(k, n):
         if svi_result is not None:
+            if bf.prior != "uniform":
+                raise NotImplementedError(
+                    "SVI guide proposals currently assume the uniform prior"
+                )
             draws = sample_svi_posterior(bf, svi_result, k, n)
             log_q = guide_log_prob(
                 bf, svi_result, draws["standard"],
@@ -61,8 +63,8 @@ def importance_evidence(
         else:
             draws = bf.sample_prior(k, n)
             # proposal == prior -> log q == log prior; weights reduce to ll
-            log_q = jnp.full((n,), log_prior_std)
-        log_prior = log_prior_std
+            log_q = bf.log_prior_standard(draws["standard"])
+        log_prior = bf.log_prior_standard(draws["standard"])
         if not bf.fixed_scale:
             log_prior = log_prior - jnp.log(bf.scale_max)
             if svi_result is None:

@@ -63,8 +63,18 @@ class BayesianFlow:
     fixed_scale: bool = True
     multi_scale: bool = False
     avg: bool = False
+    # Prior family over the weights, mirroring the reference's pyro path
+    # (``bflow.py:30-47``): "uniform" (the production multiplicative-box
+    # prior), "normal" (N(mle, (scale*mle)^2)), "standard_normal"
+    # (weights ~ N(0,1) directly), "truncnorm" (the normal, truncated to
+    # the uniform box).
+    prior: str = "uniform"
+
+    _PRIORS = ("uniform", "normal", "standard_normal", "truncnorm")
 
     def __post_init__(self):
+        if self.prior not in self._PRIORS:
+            raise ValueError(f"prior must be one of {self._PRIORS}")
         flat, unravel = ravel_pytree(self.mle_params)
         object.__setattr__(self, "_flat_mle", flat)
         object.__setattr__(self, "_unravel", unravel)
@@ -94,9 +104,20 @@ class BayesianFlow:
         return u[:P], u[P:]
 
     def constrain(self, u):
-        """Unconstrained vector -> dict(standard, scale, params_flat)."""
+        """Unconstrained vector -> dict(standard, scale, params_flat,
+        log_det, log_prior).
+
+        ``log_det`` is the Jacobian of the unconstraining transform and
+        ``log_prior`` the (non-constant part of the) prior density of the
+        constrained variables; the potential is ``-(loglik + log_det +
+        log_prior)``.
+        """
         u_std, u_scale = self._split(u)
-        standard, ld_std = _interval(u_std)
+        if self.prior in ("uniform", "truncnorm"):
+            standard, ld_std = _interval(u_std)
+        else:  # normal / standard_normal: std unconstrained
+            standard, ld_std = u_std, jnp.zeros(())
+
         if self.fixed_scale:
             scale = jnp.asarray(self.scale_max)
             log_det = ld_std
@@ -109,13 +130,47 @@ class BayesianFlow:
                 jnp.log(self.scale_max) - jax.nn.softplus(u_scale) - jax.nn.softplus(-u_scale)
             )
             log_det = ld_std + ld_scale
-        params_flat = self._flat_mle * (1.0 + scale * standard)
+
+        if self.prior == "standard_normal":
+            # weights drawn directly from N(0,1), ignoring the MLE center
+            params_flat = standard
+            log_prior = -0.5 * jnp.sum(standard * standard)
+        else:
+            params_flat = self._flat_mle * (1.0 + scale * standard)
+            if self.prior == "uniform":
+                log_prior = jnp.zeros(())
+            elif self.prior == "normal":
+                log_prior = -0.5 * jnp.sum(standard * standard)
+            else:  # truncnorm: N(0,1) truncated to (-1, 1); normalizer const
+                log_prior = -0.5 * jnp.sum(standard * standard)
         return {
             "standard": standard,
             "scale": scale,
             "params_flat": params_flat,
             "log_det": log_det,
+            "log_prior": log_prior,
         }
+
+    def log_prior_standard(self, standard):
+        """Normalized log prior density of the standardized weights (axis -1
+        summed) — used by the importance-sampling evidence module, where
+        normalization constants matter."""
+        import math
+
+        from jax.scipy.special import erf
+
+        P = standard.shape[-1]
+        if self.prior == "uniform":
+            return jnp.full(standard.shape[:-1], -P * math.log(2.0))
+        base = -0.5 * jnp.sum(standard * standard, axis=-1) - 0.5 * P * math.log(
+            2.0 * math.pi
+        )
+        if self.prior in ("normal", "standard_normal"):
+            return base
+        # truncnorm: renormalize to (-1, 1)
+        z = math.sqrt(0.5)
+        mass = float(erf(jnp.asarray(z)))  # Phi(1) - Phi(-1)
+        return base - P * math.log(mass)
 
     def unravel(self, params_flat):
         return self._unravel(params_flat)
@@ -130,7 +185,7 @@ class BayesianFlow:
         """-log posterior density in unconstrained space (up to a constant)."""
         c = self.constrain(u)
         ll = self.log_likelihood_flat(c["params_flat"])
-        return -(ll + c["log_det"])
+        return -(ll + c["log_det"] + c["log_prior"])
 
     def init_positions(self, key, num_chains: int, jitter: float = 0.1):
         """Chains start at the MLE (standard = 0 <-> u = 0), jittered."""
@@ -143,14 +198,24 @@ class BayesianFlow:
         ``train_bayesian_flow_prior``, ``bflow_jax_maf.py:337-341``)."""
         P = self.num_weights
         k_std, k_scale = jax.random.split(key)
-        standard = jax.random.uniform(k_std, (num_samples, P), minval=-1.0, maxval=1.0)
+        if self.prior == "uniform":
+            standard = jax.random.uniform(
+                k_std, (num_samples, P), minval=-1.0, maxval=1.0
+            )
+        elif self.prior in ("normal", "standard_normal"):
+            standard = jax.random.normal(k_std, (num_samples, P))
+        else:  # truncnorm
+            standard = jax.random.truncated_normal(k_std, -1.0, 1.0, (num_samples, P))
         if self.fixed_scale:
             scale = jnp.full((num_samples, 1), self.scale_max)
         elif self.multi_scale:
             scale = jax.random.uniform(k_scale, (num_samples, P), maxval=self.scale_max)
         else:
             scale = jax.random.uniform(k_scale, (num_samples, 1), maxval=self.scale_max)
-        params_flat = self._flat_mle * (1.0 + scale * standard)
+        if self.prior == "standard_normal":
+            params_flat = standard
+        else:
+            params_flat = self._flat_mle * (1.0 + scale * standard)
         return {
             "standard": standard,
             "scale": jnp.squeeze(scale, -1) if scale.shape[-1] == 1 else scale,

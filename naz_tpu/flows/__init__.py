@@ -2,6 +2,7 @@ from naz_tpu.flows.flow import Flow
 from naz_tpu.flows.maf import MaskedAutoregressiveFlow
 from naz_tpu.flows.spline import SplineAutoregressiveFlow, SplineCoupling
 from naz_tpu.flows.cnf import CNFTransform
+from naz_tpu.flows.norms import ActNorm
 
 
 def maf_flow(
@@ -116,6 +117,7 @@ def cnf_flow(
 
 __all__ = [
     "Flow",
+    "ActNorm",
     "CNFTransform",
     "cnf_flow",
     "MaskedAutoregressiveFlow",

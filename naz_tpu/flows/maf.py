@@ -51,6 +51,11 @@ class MaskedAutoregressiveFlow:
     log_scale_clip: Tuple[float, float] = (-5.0, 3.0)
     invert: bool = False
     dropout_rate: float = 0.0
+    # Use the fused Pallas conditioner+affine kernel for the one-pass
+    # density direction (TPU; interpret-mode on CPU). Requires tanh
+    # activation and no dropout; other paths fall back to jnp.
+    use_pallas: bool = False
+    pallas_tile: int = 512
 
     # -- construction ------------------------------------------------------
 
@@ -67,6 +72,8 @@ class MaskedAutoregressiveFlow:
         log_scale_clip: Tuple[float, float] = (-5.0, 3.0),
         invert: bool = False,
         dropout_rate: float = 0.0,
+        use_pallas: bool = False,
+        pallas_tile: int = 512,
     ) -> "MaskedAutoregressiveFlow":
         if permutations is None:
             permutations = random_permutations(np.random.default_rng(seed), dim, n_layers)
@@ -90,6 +97,8 @@ class MaskedAutoregressiveFlow:
             log_scale_clip=log_scale_clip,
             invert=invert,
             dropout_rate=dropout_rate,
+            use_pallas=use_pallas,
+            pallas_tile=pallas_tile,
         )
 
     def init_params(self, key, scale: float = 1e-2):
@@ -157,6 +166,13 @@ class MaskedAutoregressiveFlow:
 
     def _one_pass(self, params, x, context, dropout_key=None):
         """data -> latent in one conditioner pass per layer (fast density)."""
+        if (
+            self.use_pallas
+            and dropout_key is None
+            and self.activation is jnp.tanh
+            and type(self) is MaskedAutoregressiveFlow
+        ):
+            return self._one_pass_pallas(params, x, context)
         keys = self._layer_keys(dropout_key)
 
         def body(carry, xs):
@@ -169,6 +185,32 @@ class MaskedAutoregressiveFlow:
         init = (x, jnp.zeros(x.shape[:-1], dtype=x.dtype))
         (z, ld), _ = lax.scan(body, init, (params, self.masks, keys))
         return z, ld
+
+    def _one_pass_pallas(self, params, x, context):
+        from naz_tpu.ops.pallas import fused_made_affine_layer
+
+        interpret = jax.default_backend() == "cpu"
+        lo, hi = self.log_scale_clip
+        batch_shape = x.shape[:-1]
+        x2 = x.reshape(-1, self.dim)
+        ctx2 = context.reshape(-1, context.shape[-1]) if context is not None else None
+
+        def body(carry, xs):
+            x, ld = carry
+            layer_params, layer_masks = xs
+            ws = tuple(p["w"] * m for p, m in zip(layer_params, layer_masks))
+            bs = tuple(p["b"] for p in layer_params)
+            x_full = (
+                jnp.concatenate([ctx2, x], axis=-1) if ctx2 is not None else x
+            )
+            z, d = fused_made_affine_layer(
+                x_full, ws, bs, self.dim, lo, hi, self.pallas_tile, interpret
+            )
+            return (z, ld + d), None
+
+        init = (x2, jnp.zeros(x2.shape[:-1], dtype=x.dtype))
+        (z, ld), _ = lax.scan(body, init, (params, self.masks))
+        return z.reshape(batch_shape + (self.dim,)), ld.reshape(batch_shape)
 
     def _sequential(self, params, z, context, dropout_key=None):
         """latent -> data via dim full-vector passes per layer: solve

@@ -1,0 +1,81 @@
+"""Fused Pallas kernel vs the pure-jnp path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from naz_tpu.flows.maf import MaskedAutoregressiveFlow
+from naz_tpu.ops.pallas import fused_made_affine_layer
+
+
+def _pair(ctx=2, dim=3, hidden=(16, 16), n_layers=2, seed=0):
+    plain = MaskedAutoregressiveFlow.create(
+        dim, n_layers, hidden, context_dim=ctx, seed=seed
+    )
+    fused = MaskedAutoregressiveFlow.create(
+        dim, n_layers, hidden, context_dim=ctx, seed=seed,
+        use_pallas=True, pallas_tile=8,
+    )
+    params = plain.init_params(jax.random.PRNGKey(0))
+    params = jax.tree.map(
+        lambda p: p + 0.1 * jax.random.normal(jax.random.PRNGKey(1), p.shape), params
+    )
+    return plain, fused, params
+
+
+def test_fused_kernel_forward_matches():
+    plain, fused, params = _pair()
+    x = jax.random.normal(jax.random.PRNGKey(2), (21, 3))  # non-multiple of tile
+    c = jax.random.normal(jax.random.PRNGKey(3), (21, 2))
+    z_p, ld_p = plain.forward(params, x, context=c)
+    z_f, ld_f = fused.forward(params, x, context=c)
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_p), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_f), np.asarray(ld_p), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_kernel_grads_match():
+    plain, fused, params = _pair()
+    x = jax.random.normal(jax.random.PRNGKey(2), (16, 3))
+    c = jax.random.normal(jax.random.PRNGKey(3), (16, 2))
+
+    def loss(t, params, x):
+        z, ld = t.forward(params, x, context=c)
+        return jnp.sum(z**2) + 2.0 * jnp.sum(ld)
+
+    g_p = jax.grad(lambda p: loss(plain, p, x))(params)
+    g_f = jax.grad(lambda p: loss(fused, p, x))(params)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4)
+
+    gx_p = jax.grad(lambda x: loss(plain, params, x))(x)
+    gx_f = jax.grad(lambda x: loss(fused, params, x))(x)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_p), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_kernel_unconditional_and_clip_boundary():
+    plain, fused, params = _pair(ctx=0)
+    # push log-scales outside the clip window to exercise the clip gradient
+    params = jax.tree.map(lambda p: 3.0 * p, params)
+    x = jax.random.normal(jax.random.PRNGKey(4), (12, 3))
+    z_p, ld_p = plain.forward(params, x)
+    z_f, ld_f = fused.forward(params, x)
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_p), rtol=1e-4, atol=1e-4)
+
+    g_p = jax.grad(lambda p: jnp.sum(plain.forward(p, x)[1]))(params)
+    g_f = jax.grad(lambda p: jnp.sum(fused.forward(p, x)[1]))(params)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_kernel_under_vmap():
+    """HMC vmaps over chains = over params; the kernel must batch."""
+    plain, fused, params = _pair()
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 3))
+    c = jax.random.normal(jax.random.PRNGKey(3), (8, 2))
+    batched = jax.tree.map(
+        lambda p: jnp.stack([p, p + 0.01]), params
+    )
+    lp_p = jax.vmap(lambda p: plain.forward(p, x, context=c)[1])(batched)
+    lp_f = jax.vmap(lambda p: fused.forward(p, x, context=c)[1])(batched)
+    np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_p), rtol=1e-4, atol=1e-4)
