@@ -55,7 +55,17 @@ class MaskedAutoregressiveFlow:
     # density direction (TPU; interpret-mode on CPU). Requires tanh
     # activation and no dropout; other paths fall back to jnp.
     use_pallas: bool = False
-    pallas_tile: int = 512
+    pallas_tile: int = 1024
+    # bf16 MXU passes inside the Pallas kernel (XLA-default precision);
+    # set False for bitwise parity with the f32 jnp path
+    pallas_bf16: bool = True
+    # Rematerialize per-layer activations in the backward pass: the scan
+    # body is wrapped in jax.checkpoint, so backward recomputes each
+    # layer's conditioner instead of storing (n_layers, batch, hidden)
+    # residuals. At the reference's full workload (16 layers x 190k points
+    # x [150]^3, 4 chains) stored residuals exceed 40 GB — far past HBM —
+    # while remat keeps only the (batch, dim) carries. ~17% extra FLOPs.
+    remat: bool = True
 
     # -- construction ------------------------------------------------------
 
@@ -73,7 +83,9 @@ class MaskedAutoregressiveFlow:
         invert: bool = False,
         dropout_rate: float = 0.0,
         use_pallas: bool = False,
-        pallas_tile: int = 512,
+        pallas_tile: int = 1024,
+        pallas_bf16: bool = True,
+        remat: bool = True,
     ) -> "MaskedAutoregressiveFlow":
         if permutations is None:
             permutations = random_permutations(np.random.default_rng(seed), dim, n_layers)
@@ -99,6 +111,8 @@ class MaskedAutoregressiveFlow:
             dropout_rate=dropout_rate,
             use_pallas=use_pallas,
             pallas_tile=pallas_tile,
+            pallas_bf16=pallas_bf16,
+            remat=remat,
         )
 
     def init_params(self, key, scale: float = 1e-2):
@@ -156,6 +170,9 @@ class MaskedAutoregressiveFlow:
 
     # -- primitive directions (ignore `invert`) ----------------------------
 
+    def _maybe_remat(self, body):
+        return jax.checkpoint(body) if self.remat else body
+
     def _layer_keys(self, dropout_key):
         """Per-flow-layer dropout keys as scan xs (None -> no dropout)."""
         if dropout_key is None or self.dropout_rate == 0.0:
@@ -183,7 +200,7 @@ class MaskedAutoregressiveFlow:
             return (z, ld + d), None
 
         init = (x, jnp.zeros(x.shape[:-1], dtype=x.dtype))
-        (z, ld), _ = lax.scan(body, init, (params, self.masks, keys))
+        (z, ld), _ = lax.scan(self._maybe_remat(body), init, (params, self.masks, keys))
         return z, ld
 
     def _one_pass_pallas(self, params, x, context):
@@ -204,7 +221,8 @@ class MaskedAutoregressiveFlow:
                 jnp.concatenate([ctx2, x], axis=-1) if ctx2 is not None else x
             )
             z, d = fused_made_affine_layer(
-                x_full, ws, bs, self.dim, lo, hi, self.pallas_tile, interpret
+                x_full, ws, bs, self.dim, lo, hi, self.pallas_tile, interpret,
+                self.pallas_bf16,
             )
             return (z, ld + d), None
 
@@ -232,7 +250,7 @@ class MaskedAutoregressiveFlow:
             return (x, ld + d), None
 
         init = (z, jnp.zeros(z.shape[:-1], dtype=z.dtype))
-        (x, ld), _ = lax.scan(body, init, (params, self.masks, keys), reverse=True)
+        (x, ld), _ = lax.scan(self._maybe_remat(body), init, (params, self.masks, keys), reverse=True)
         return x, ld
 
     # -- public API (honors `invert`) --------------------------------------
@@ -278,7 +296,7 @@ class MaskedAutoregressiveFlow:
             return (x, ld + d), None
 
         init = (y, jnp.zeros(y.shape[:-1], dtype=y.dtype))
-        (x, ld), _ = lax.scan(body, init, (params, self.masks, keys), reverse=True)
+        (x, ld), _ = lax.scan(self._maybe_remat(body), init, (params, self.masks, keys), reverse=True)
         return x, ld
 
     def _one_pass_as_inverse(self, params, z, context, dropout_key=None):
@@ -292,7 +310,7 @@ class MaskedAutoregressiveFlow:
             return (y, ld + d), None
 
         init = (z, jnp.zeros(z.shape[:-1], dtype=z.dtype))
-        (y, ld), _ = lax.scan(body, init, (params, self.masks, keys))
+        (y, ld), _ = lax.scan(self._maybe_remat(body), init, (params, self.masks, keys))
         return y, ld
 
     def _prep_context(self, x, context):

@@ -120,6 +120,7 @@ class SplineCoupling:
     bound: float = 5.0
     activation: Callable = jnp.tanh
     dropout_rate: float = 0.0
+    remat: bool = True
 
     @staticmethod
     def create(
@@ -236,6 +237,8 @@ class SplineCoupling:
             y, d = self._layer(x, layer_params, context, k, inverse=False)
             return (y, ld + d), None
 
+        if self.remat:
+            body = jax.checkpoint(body)
         init = (x, jnp.zeros(x.shape[:-1], dtype=x.dtype))
         (z, ld), _ = lax.scan(body, init, (params, keys))
         return z, ld
@@ -251,6 +254,8 @@ class SplineCoupling:
             x = jnp.roll(x, -1, axis=-1)
             return (x, ld + d), None
 
+        if self.remat:
+            body = jax.checkpoint(body)
         init = (z, jnp.zeros(z.shape[:-1], dtype=z.dtype))
         (x, ld), _ = lax.scan(body, init, (params, keys), reverse=True)
         return x, ld

@@ -36,7 +36,7 @@ from naz_tpu.mcmc.adapt import (
     welford_update,
     welford_variance,
 )
-from naz_tpu.mcmc.hmc import find_reasonable_step_size
+from naz_tpu.mcmc.hmc import HMCConfig, find_reasonable_step_size, hmc_step
 from naz_tpu.mcmc.nuts import NUTSConfig, nuts_step
 
 
@@ -50,6 +50,11 @@ class MCMCRunConfig:
     adapt_mass: bool = True
     init_step_size: float = 0.1
     seed: int = 0
+    # transition kernel: "nuts" (default) or plain "hmc" with a fixed
+    # leapfrog count (the reference's pyro train_hmc path,
+    # /root/reference/src/naz/trainers/train_flows.py:280-323)
+    kernel: str = "nuts"
+    hmc_num_steps: int = 32
     # DA hyperparams (Stan defaults)
     da_gamma: float = 0.05
     da_t0: float = 10.0
@@ -77,6 +82,36 @@ def _nuts_cfg(cfg: MCMCRunConfig) -> NUTSConfig:
     return NUTSConfig(max_depth=cfg.max_depth)
 
 
+def _make_step(pg, cfg: MCMCRunConfig):
+    """Uniform transition-step interface: (q,U,grad,key,step,inv_mass) ->
+    (q,U,grad,info) where info exposes accept_prob/num_grad_evals/diverging."""
+    if cfg.kernel == "nuts":
+        nuts_config = _nuts_cfg(cfg)
+
+        def step(q, U, g, k, s, im):
+            return nuts_step(pg, q, U, g, k, s, im, nuts_config)
+
+        return step
+    if cfg.kernel == "hmc":
+        hmc_config = HMCConfig(num_steps=cfg.hmc_num_steps)
+
+        def step(q, U, g, k, s, im):
+            q, U, g, info = hmc_step(pg, q, U, g, k, s, im, hmc_config)
+            from naz_tpu.mcmc.nuts import NUTSInfo
+
+            return q, U, g, NUTSInfo(
+                accept_prob=info.accept_prob,
+                num_grad_evals=info.num_grad_evals,
+                depth=jnp.zeros((), jnp.int32),
+                diverging=info.diverging,
+                turning=jnp.zeros((), bool),
+                energy=info.energy,
+            )
+
+        return step
+    raise ValueError(f"unknown kernel {cfg.kernel!r}")
+
+
 def init_chains(
     potential: Callable, q0: jnp.ndarray, cfg: MCMCRunConfig
 ) -> ChainState:
@@ -94,7 +129,7 @@ def warmup_nuts(
 ) -> tuple[ChainState, WarmupInfo]:
     """Adapt step size + diagonal mass; returns post-warmup state."""
     pg = jax.value_and_grad(potential)
-    nuts_config = _nuts_cfg(cfg)
+    step_fn = _make_step(pg, cfg)
     dim = state.q.shape[-1]
     n_chains = state.q.shape[0]
 
@@ -132,11 +167,9 @@ def warmup_nuts(
             k_step, k_next = keys[:, 0], keys[:, 1]
             step_size = jnp.exp(carry["da"].log_step)
 
-            q, U, grad, info = jax.vmap(
-                lambda q, U, g, k, s, im: nuts_step(
-                    pg, q, U, g, k, s, im, nuts_config
-                )
-            )(carry["q"], carry["U"], carry["grad"], k_step, step_size, carry["inv_mass"])
+            q, U, grad, info = jax.vmap(step_fn)(
+                carry["q"], carry["U"], carry["grad"], k_step, step_size, carry["inv_mass"]
+            )
 
             da = jax.vmap(
                 lambda d, a: da_update(
@@ -206,16 +239,16 @@ def sample_nuts(
 ) -> tuple[ChainState, SampleBatch]:
     """Draw ``num_samples`` per chain (no adaptation)."""
     pg = jax.value_and_grad(potential)
-    nuts_config = _nuts_cfg(cfg)
+    step_fn = _make_step(pg, cfg)
 
     @jax.jit
     def _sample(state: ChainState):
         def one_step(carry: ChainState, _):
             keys = jax.vmap(jax.random.split)(carry.key)
             k_step, k_next = keys[:, 0], keys[:, 1]
-            q, U, grad, info = jax.vmap(
-                lambda q, U, g, k, s, im: nuts_step(pg, q, U, g, k, s, im, nuts_config)
-            )(carry.q, carry.U, carry.grad, k_step, carry.step_size, carry.inv_mass)
+            q, U, grad, info = jax.vmap(step_fn)(
+                carry.q, carry.U, carry.grad, k_step, carry.step_size, carry.inv_mass
+            )
             new = ChainState(q, U, grad, k_next, carry.step_size, carry.inv_mass)
             return new, (q, info.accept_prob, info.num_grad_evals, info.diverging)
 

@@ -41,18 +41,30 @@ def pallas_available() -> bool:
         return False
 
 
-def _forward_body(x_full_ref, *refs, dim, n_layers, clip_lo, clip_hi):
+def _make_dot(bf16: bool):
+    """MXU matmul; with ``bf16`` the operands are cast to bfloat16 with f32
+    accumulation — the same effective precision XLA uses by default for f32
+    matmuls on TPU (and ~2x the MXU rate of true-f32 passes)."""
+    if not bf16:
+        return lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return lambda a, b: jnp.dot(
+        a.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _forward_body(x_full_ref, *refs, dim, n_layers, clip_lo, clip_hi, bf16):
     # refs: w0..w{L-1}, b0..b{L-1}, z_ref, ld_ref
     ws = refs[:n_layers]
     bs = refs[n_layers : 2 * n_layers]
     z_ref, ld_ref = refs[2 * n_layers], refs[2 * n_layers + 1]
+    _dot = _make_dot(bf16)
 
     h = x_full_ref[:]
     for k in range(n_layers - 1):
-        h = jnp.tanh(
-            jnp.dot(h, ws[k][:].T, preferred_element_type=jnp.float32) + bs[k][:]
-        )
-    out = jnp.dot(h, ws[-1][:].T, preferred_element_type=jnp.float32) + bs[-1][:]
+        h = jnp.tanh(_dot(h, ws[k][:].T) + bs[k][:])
+    out = _dot(h, ws[-1][:].T) + bs[-1][:]
 
     x = x_full_ref[:, -dim:]
     mu = out[:, :dim]
@@ -62,7 +74,7 @@ def _forward_body(x_full_ref, *refs, dim, n_layers, clip_lo, clip_hi):
 
 
 def _backward_body(
-    x_full_ref, *refs, dim, n_layers, clip_lo, clip_hi
+    x_full_ref, *refs, dim, n_layers, clip_lo, clip_hi, bf16
 ):
     # refs layout: w0..w{L-1}, b0..b{L-1}, g_z, g_ld, dx_full, dw0..dw{L-1}, db0..db{L-1}
     ws = refs[:n_layers]
@@ -72,16 +84,15 @@ def _backward_body(
     dx_ref = refs[2 * n_layers + 2]
     dws = refs[2 * n_layers + 3 : 3 * n_layers + 3]
     dbs = refs[3 * n_layers + 3 :]
+    _dot = _make_dot(bf16)
 
     # recompute forward, keeping activations
     hs = [x_full_ref[:]]
     h = hs[0]
     for k in range(n_layers - 1):
-        h = jnp.tanh(
-            jnp.dot(h, ws[k][:].T, preferred_element_type=jnp.float32) + bs[k][:]
-        )
+        h = jnp.tanh(_dot(h, ws[k][:].T) + bs[k][:])
         hs.append(h)
-    out = jnp.dot(h, ws[-1][:].T, preferred_element_type=jnp.float32) + bs[-1][:]
+    out = _dot(h, ws[-1][:].T) + bs[-1][:]
 
     x = x_full_ref[:, -dim:]
     mu = out[:, :dim]
@@ -105,15 +116,15 @@ def _backward_body(
             r[:] = jnp.zeros_like(r)
 
     # output layer grads
-    dws[-1][:] += jnp.dot(g_out.T, hs[-1], preferred_element_type=jnp.float32)
+    dws[-1][:] += _dot(g_out.T, hs[-1])
     dbs[-1][:] += jnp.sum(g_out, axis=0, keepdims=True)
-    g_h = jnp.dot(g_out, ws[-1][:], preferred_element_type=jnp.float32)
+    g_h = _dot(g_out, ws[-1][:])
 
     for k in range(n_layers - 2, -1, -1):
         g_pre = g_h * (1.0 - hs[k + 1] * hs[k + 1])
-        dws[k][:] += jnp.dot(g_pre.T, hs[k], preferred_element_type=jnp.float32)
+        dws[k][:] += _dot(g_pre.T, hs[k])
         dbs[k][:] += jnp.sum(g_pre, axis=0, keepdims=True)
-        g_h = jnp.dot(g_pre, ws[k][:], preferred_element_type=jnp.float32)
+        g_h = _dot(g_pre, ws[k][:])
 
     # direct dependence of z on x (identity block of x_full)
     direct = g_z * e
@@ -135,7 +146,7 @@ def _pad_batch(a, tile):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
 )
 def fused_made_affine_layer(
     x_full,
@@ -146,6 +157,7 @@ def fused_made_affine_layer(
     clip_hi: float = 3.0,
     tile: int = 512,
     interpret: bool = False,
+    bf16: bool = True,
 ):
     """Fused conditioner + affine update.
 
@@ -157,12 +169,13 @@ def fused_made_affine_layer(
     Returns: (z (B, dim), logdet (B,)) — same math as the jnp path.
     """
     z, ld = _fused_forward(
-        x_full, tuple(weights), tuple(biases), dim, clip_lo, clip_hi, tile, interpret
+        x_full, tuple(weights), tuple(biases), dim, clip_lo, clip_hi, tile,
+        interpret, bf16,
     )
     return z, ld
 
 
-def _fused_forward(x_full, weights, biases, dim, clip_lo, clip_hi, tile, interpret):
+def _fused_forward(x_full, weights, biases, dim, clip_lo, clip_hi, tile, interpret, bf16):
     n_layers = len(weights)
     x_pad, b_true = _pad_batch(x_full, tile)
     B = x_pad.shape[0]
@@ -170,7 +183,8 @@ def _fused_forward(x_full, weights, biases, dim, clip_lo, clip_hi, tile, interpr
     cin = x_pad.shape[1]
 
     kernel = functools.partial(
-        _forward_body, dim=dim, n_layers=n_layers, clip_lo=clip_lo, clip_hi=clip_hi
+        _forward_body, dim=dim, n_layers=n_layers, clip_lo=clip_lo,
+        clip_hi=clip_hi, bf16=bf16,
     )
     w_specs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -201,14 +215,15 @@ def _fused_forward(x_full, weights, biases, dim, clip_lo, clip_hi, tile, interpr
     return z[:b_true], ld[:b_true, 0]
 
 
-def _fwd(x_full, weights, biases, dim, clip_lo, clip_hi, tile, interpret):
+def _fwd(x_full, weights, biases, dim, clip_lo, clip_hi, tile, interpret, bf16):
     out = _fused_forward(
-        x_full, tuple(weights), tuple(biases), dim, clip_lo, clip_hi, tile, interpret
+        x_full, tuple(weights), tuple(biases), dim, clip_lo, clip_hi, tile,
+        interpret, bf16,
     )
     return out, (x_full, tuple(weights), tuple(biases))
 
 
-def _bwd(dim, clip_lo, clip_hi, tile, interpret, res, g):
+def _bwd(dim, clip_lo, clip_hi, tile, interpret, bf16, res, g):
     x_full, weights, biases = res
     g_z, g_ld = g
     n_layers = len(weights)
@@ -221,7 +236,8 @@ def _bwd(dim, clip_lo, clip_hi, tile, interpret, res, g):
     grid = (B // tile,)
 
     kernel = functools.partial(
-        _backward_body, dim=dim, n_layers=n_layers, clip_lo=clip_lo, clip_hi=clip_hi
+        _backward_body, dim=dim, n_layers=n_layers, clip_lo=clip_lo,
+        clip_hi=clip_hi, bf16=bf16,
     )
     w_specs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)

@@ -130,3 +130,18 @@ def test_checkpoint_resume_continues(tmp_path):
     # interrupted run's, later draws exist and differ from the first batch
     np.testing.assert_array_equal(post_resumed["q"][:20], post_full["q"][:20])
     assert not np.allclose(post_resumed["q"][20:40], post_resumed["q"][:20])
+
+
+def test_hmc_kernel_via_run_driver():
+    pot = _std_normal_potential(4)
+    q0 = 0.1 * jax.random.normal(jax.random.PRNGKey(5), (2, 4))
+    cfg = MCMCRunConfig(
+        num_warmup=200, num_samples=300, num_chains=2, seed=5,
+        kernel="hmc", hmc_num_steps=16,
+    )
+    _, batch, _ = run_nuts(pot, q0, cfg)
+    flat = np.asarray(batch.q).reshape(-1, 4)
+    np.testing.assert_allclose(flat.mean(0), np.zeros(4), atol=0.15)
+    np.testing.assert_allclose(flat.var(0), np.ones(4), atol=0.3)
+    # fixed trajectory length: every transition costs exactly 16 grad evals
+    assert (np.asarray(batch.num_grad_evals) == 16).all()

@@ -15,7 +15,7 @@ def _pair(ctx=2, dim=3, hidden=(16, 16), n_layers=2, seed=0):
     )
     fused = MaskedAutoregressiveFlow.create(
         dim, n_layers, hidden, context_dim=ctx, seed=seed,
-        use_pallas=True, pallas_tile=8,
+        use_pallas=True, pallas_tile=8, pallas_bf16=False,
     )
     params = plain.init_params(jax.random.PRNGKey(0))
     params = jax.tree.map(
@@ -79,3 +79,21 @@ def test_fused_kernel_under_vmap():
     lp_p = jax.vmap(lambda p: plain.forward(p, x, context=c)[1])(batched)
     lp_f = jax.vmap(lambda p: fused.forward(p, x, context=c)[1])(batched)
     np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_p), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_kernel_bf16_close():
+    """bf16 MXU mode: same math at bf16 matmul tolerance."""
+    plain, _, params = _pair()
+    fused16 = MaskedAutoregressiveFlow.create(
+        3, 2, (16, 16), context_dim=2, seed=0,
+        use_pallas=True, pallas_tile=8, pallas_bf16=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(2), (16, 3))
+    c = jax.random.normal(jax.random.PRNGKey(3), (16, 2))
+    z_p, ld_p = plain.forward(params, x, context=c)
+    z_f, ld_f = fused16.forward(params, x, context=c)
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_p), rtol=0.05, atol=0.05)
+    g_p = jax.grad(lambda p: jnp.sum(plain.forward(p, x, context=c)[1]))(params)
+    g_f = jax.grad(lambda p: jnp.sum(fused16.forward(p, x, context=c)[1]))(params)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0.1, atol=0.1)

@@ -1,0 +1,64 @@
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from naz_tpu.flows import maf_flow
+from naz_tpu.stats.plotting import (
+    grid_pdf_draws,
+    plot_calibration,
+    plot_contour_level,
+    plot_marginal_bands,
+)
+
+
+def test_grid_pdf_draws_and_plots(tmp_path):
+    flow = maf_flow(2, 2, (8,), seed=0)
+    p0 = flow.init_params(jax.random.PRNGKey(0))
+    draws = jax.tree.map(lambda a: jnp.stack([a + 0.01 * i for i in range(5)]), p0)
+    g = np.linspace(-3, 3, 40)
+    X, Y = np.meshgrid(g, g)
+    pts = np.stack([X.ravel(), Y.ravel()], -1)
+    pdfs = grid_pdf_draws(flow, draws, pts, batch=2)
+    assert pdfs.shape == (5, 1600)
+    assert np.isfinite(pdfs).all()
+
+    # marginal bands on a 1-D slice
+    ax = plot_marginal_bands(g, pdfs[:, :40], truth_pdf=pdfs[0, :40])
+    ax.figure.savefig(tmp_path / "bands.png")
+
+    ax = plot_contour_level(X, Y, pdfs[0].reshape(40, 40), mass=0.9)
+    ax.figure.savefig(tmp_path / "contour.png")
+
+    ax = plot_calibration(
+        [0.1, 0.5, 0.9], [[0.12, 0.48, 0.88], [0.2, 0.6, 0.95]], labels=["a", "b"]
+    )
+    ax.figure.savefig(tmp_path / "cal.png")
+    for f in ("bands.png", "contour.png", "cal.png"):
+        assert (tmp_path / f).stat().st_size > 0
+
+
+def test_cli_help():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "naz_tpu", "--help"],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=120,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo},
+    )
+    assert r.returncode == 0
+    for cmd in ("train-mle", "hmc", "svi"):
+        assert cmd in r.stdout
+
+
+def test_multihost_initialize_single_process():
+    from naz_tpu.parallel.distributed import initialize_multihost
+
+    info = initialize_multihost()
+    assert info["process_count"] >= 1
+    assert info["global_devices"] >= 1
