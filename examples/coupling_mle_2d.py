@@ -6,7 +6,10 @@ with the two-moons density standing in for the GW170817 posterior samples.
 """
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

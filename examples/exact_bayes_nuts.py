@@ -9,7 +9,10 @@ Counterpart of ``/root/reference/examples/papers/2506.05657/hmc_maf_exact.py``
 """
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -6,7 +6,10 @@ Counterpart of the reference's dropout conditioners + ``MCDPNormalizingFlow``
 """
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
