@@ -50,6 +50,7 @@ def main(argv=None):
     p.add_argument("--sigma", type=float, default=0.01, help="scale_max")
     p.add_argument("--chckpt", type=str, default=None, help="checkpoint dir")
     p.add_argument("--calibrate", action="store_true")
+    p.add_argument("--max-depth", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -102,6 +103,7 @@ def main(argv=None):
         num_warmup=args.num_warmup,
         num_samples=args.num_samples,
         num_chains=args.num_chains,
+        max_depth=args.max_depth,
         seed=args.seed,
     )
     post = fit_nuts(bf, cfg, checkpoint_dir=args.chckpt)

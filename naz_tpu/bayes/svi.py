@@ -68,9 +68,15 @@ def _guide_dist(g: dict) -> TruncatedNormal:
 
 
 def fit_svi(
-    bayes_flow: BayesianFlow, cfg: SVIConfig = SVIConfig()
+    bayes_flow: BayesianFlow, cfg: SVIConfig = SVIConfig(), mesh=None
 ) -> SVIResult:
-    """Optimize the mean-field guide; returns guide params + loss trace."""
+    """Optimize the mean-field guide; returns guide params + loss trace.
+
+    With ``mesh``, ELBO particles shard over the ``chains`` mesh axis (the
+    reference's single Trace_ELBO particle generalized to a sharded particle
+    ensemble; the particle mean lowers to a psum over ICI). Requires
+    ``num_particles`` divisible by the chain-axis size.
+    """
     import optax
 
     bf = bayes_flow
@@ -115,6 +121,12 @@ def fit_svi(
             return ll + log_prior - log_q
 
         keys = jax.random.split(key, cfg.num_particles)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            keys = jax.lax.with_sharding_constraint(
+                keys, NamedSharding(mesh, PartitionSpec("chains"))
+            )
         return -jnp.mean(jax.vmap(one_particle)(keys))
 
     def step(carry, _):

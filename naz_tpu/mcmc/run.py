@@ -55,6 +55,12 @@ class MCMCRunConfig:
     # /root/reference/src/naz/trainers/train_flows.py:280-323)
     kernel: str = "nuts"
     hmc_num_steps: int = 32
+    # steps per device program: warmup and sampling run in chunks of this
+    # many transitions with a host sync between chunks. Long single
+    # programs (hundreds of NUTS transitions x up to 2^max_depth leapfrogs)
+    # hit runtime watchdogs on remote TPU workers and give no progress
+    # signal; chunking bounds program runtime and enables checkpointing.
+    steps_per_program: int = 25
     # DA hyperparams (Stan defaults)
     da_gamma: float = 0.05
     da_t0: float = 10.0
@@ -127,19 +133,20 @@ def init_chains(
 def warmup_nuts(
     potential: Callable, state: ChainState, cfg: MCMCRunConfig
 ) -> tuple[ChainState, WarmupInfo]:
-    """Adapt step size + diagonal mass; returns post-warmup state."""
+    """Adapt step size + diagonal mass; returns post-warmup state.
+
+    Runs the Stan-style windowed schedule in ``cfg.steps_per_program``-sized
+    jitted chunks (adaptation state carried across chunks).
+    """
     pg = jax.value_and_grad(potential)
     step_fn = _make_step(pg, cfg)
     dim = state.q.shape[-1]
     n_chains = state.q.shape[0]
 
-    is_slow, window_end = build_warmup_schedule(cfg.num_warmup)
-    is_slow = jnp.asarray(is_slow)
-    window_end = jnp.asarray(window_end)
+    is_slow_np, window_end_np = build_warmup_schedule(cfg.num_warmup)
 
     @jax.jit
-    def _warmup(state: ChainState):
-        # heuristic initial step size, per chain
+    def _init(state: ChainState):
         keys = jax.vmap(jax.random.split)(state.key)
         k_find, k_rest = keys[:, 0], keys[:, 1]
         step0 = jax.vmap(
@@ -147,10 +154,9 @@ def warmup_nuts(
                 pg, q, k, im, init_step=cfg.init_step_size
             )
         )(state.q, k_find, state.inv_mass)
-
         da0 = jax.vmap(da_init)(step0)
         wf0 = jax.vmap(lambda _: welford_init(dim))(jnp.arange(n_chains))
-        carry = dict(
+        return dict(
             q=state.q,
             U=state.U,
             grad=state.grad,
@@ -161,70 +167,85 @@ def warmup_nuts(
             n_evals=jnp.zeros((), jnp.int32),
         )
 
-        def one_step(carry, xs):
-            slow, wend = xs
-            keys = jax.vmap(jax.random.split)(carry["key"])
-            k_step, k_next = keys[:, 0], keys[:, 1]
-            step_size = jnp.exp(carry["da"].log_step)
+    wf_zero = jax.vmap(lambda _: welford_init(dim))(jnp.arange(n_chains))
 
-            q, U, grad, info = jax.vmap(step_fn)(
-                carry["q"], carry["U"], carry["grad"], k_step, step_size, carry["inv_mass"]
-            )
+    def one_step(carry, xs):
+        slow, wend = xs
+        keys = jax.vmap(jax.random.split)(carry["key"])
+        k_step, k_next = keys[:, 0], keys[:, 1]
+        step_size = jnp.exp(carry["da"].log_step)
 
-            da = jax.vmap(
-                lambda d, a: da_update(
-                    d,
-                    a,
-                    target=cfg.target_accept,
-                    gamma=cfg.da_gamma,
-                    t0=cfg.da_t0,
-                    kappa=cfg.da_kappa,
-                )
-            )(carry["da"], info.accept_prob)
-
-            wf = jax.vmap(welford_update)(carry["wf"], q)
-            wf = jax.tree.map(
-                lambda new, old: jnp.where(slow, new, old), wf, carry["wf"]
-            )
-
-            # window close: set mass from variance, reset welford, restart DA
-            new_inv_mass = jax.vmap(welford_variance)(wf)
-            inv_mass = jnp.where(
-                wend & cfg.adapt_mass, new_inv_mass, carry["inv_mass"]
-            )
-            wf = jax.tree.map(
-                lambda z, w: jnp.where(wend, z, w), wf0, wf
-            )
-            da_restart = jax.vmap(da_init)(jnp.exp(da.log_step))
-            da = jax.tree.map(
-                lambda r, d: jnp.where(wend, r, d), da_restart, da
-            )
-
-            carry = dict(
-                q=q,
-                U=U,
-                grad=grad,
-                key=k_next,
-                inv_mass=inv_mass,
-                da=da,
-                wf=wf,
-                n_evals=carry["n_evals"] + jnp.sum(info.num_grad_evals),
-            )
-            return carry, info.accept_prob
-
-        carry, accepts = lax.scan(one_step, carry, (is_slow, window_end))
-        final_step = jnp.exp(carry["da"].log_step_avg)
-        new_state = ChainState(
-            q=carry["q"],
-            U=carry["U"],
-            grad=carry["grad"],
-            key=carry["key"],
-            step_size=final_step,
-            inv_mass=carry["inv_mass"],
+        q, U, grad, info = jax.vmap(step_fn)(
+            carry["q"], carry["U"], carry["grad"], k_step, step_size, carry["inv_mass"]
         )
-        return new_state, WarmupInfo(accepts, final_step, carry["n_evals"])
 
-    return _warmup(state)
+        da = jax.vmap(
+            lambda d, a: da_update(
+                d,
+                a,
+                target=cfg.target_accept,
+                gamma=cfg.da_gamma,
+                t0=cfg.da_t0,
+                kappa=cfg.da_kappa,
+            )
+        )(carry["da"], info.accept_prob)
+
+        wf = jax.vmap(welford_update)(carry["wf"], q)
+        wf = jax.tree.map(
+            lambda new, old: jnp.where(slow, new, old), wf, carry["wf"]
+        )
+
+        # window close: set mass from variance, reset welford, restart DA
+        new_inv_mass = jax.vmap(welford_variance)(wf)
+        inv_mass = jnp.where(
+            wend & cfg.adapt_mass, new_inv_mass, carry["inv_mass"]
+        )
+        wf = jax.tree.map(lambda z, w: jnp.where(wend, z, w), wf_zero, wf)
+        da_restart = jax.vmap(da_init)(jnp.exp(da.log_step))
+        da = jax.tree.map(lambda r, d: jnp.where(wend, r, d), da_restart, da)
+
+        carry = dict(
+            q=q,
+            U=U,
+            grad=grad,
+            key=k_next,
+            inv_mass=inv_mass,
+            da=da,
+            wf=wf,
+            n_evals=carry["n_evals"] + jnp.sum(info.num_grad_evals),
+        )
+        return carry, info.accept_prob
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
+    def _chunk(carry, xs, length):
+        return lax.scan(one_step, carry, xs, length=length)
+
+    carry = _init(state)
+    accept_chunks = []
+    chunk = max(1, cfg.steps_per_program)
+    for s in range(0, cfg.num_warmup, chunk):
+        e = min(s + chunk, cfg.num_warmup)
+        xs = (jnp.asarray(is_slow_np[s:e]), jnp.asarray(window_end_np[s:e]))
+        carry, acc = _chunk(carry, xs, e - s)
+        accept_chunks.append(acc)
+
+    final_step = jnp.exp(carry["da"].log_step_avg)
+    new_state = ChainState(
+        q=carry["q"],
+        U=carry["U"],
+        grad=carry["grad"],
+        key=carry["key"],
+        step_size=final_step,
+        inv_mass=carry["inv_mass"],
+    )
+    accepts = (
+        jnp.concatenate(accept_chunks)
+        if accept_chunks
+        else jnp.zeros((0, n_chains))
+    )
+    return new_state, WarmupInfo(accepts, final_step, carry["n_evals"])
 
 
 class SampleBatch(NamedTuple):
@@ -237,12 +258,14 @@ class SampleBatch(NamedTuple):
 def sample_nuts(
     potential: Callable, state: ChainState, num_samples: int, cfg: MCMCRunConfig
 ) -> tuple[ChainState, SampleBatch]:
-    """Draw ``num_samples`` per chain (no adaptation)."""
+    """Draw ``num_samples`` per chain (no adaptation), in
+    ``cfg.steps_per_program``-sized jitted chunks."""
     pg = jax.value_and_grad(potential)
     step_fn = _make_step(pg, cfg)
+    from functools import partial
 
-    @jax.jit
-    def _sample(state: ChainState):
+    @partial(jax.jit, static_argnums=1)
+    def _sample(state: ChainState, length: int):
         def one_step(carry: ChainState, _):
             keys = jax.vmap(jax.random.split)(carry.key)
             k_step, k_next = keys[:, 0], keys[:, 1]
@@ -252,10 +275,16 @@ def sample_nuts(
             new = ChainState(q, U, grad, k_next, carry.step_size, carry.inv_mass)
             return new, (q, info.accept_prob, info.num_grad_evals, info.diverging)
 
-        final, (qs, acc, nev, div) = lax.scan(one_step, state, None, length=num_samples)
-        return final, SampleBatch(qs, acc, nev, div)
+        return lax.scan(one_step, state, None, length=length)
 
-    return _sample(state)
+    chunk = max(1, cfg.steps_per_program)
+    outs = []
+    for s in range(0, num_samples, chunk):
+        length = min(chunk, num_samples - s)
+        state, out = _sample(state, length)
+        outs.append(out)
+    qs, acc, nev, div = (jnp.concatenate(parts) for parts in zip(*outs))
+    return state, SampleBatch(qs, acc, nev, div)
 
 
 def run_nuts(

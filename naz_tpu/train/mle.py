@@ -81,8 +81,16 @@ class _EpochState(NamedTuple):
     stop: jnp.ndarray
 
 
-def train_mle(flow, x, context=None, config: MLEConfig = MLEConfig()) -> TrainResult:
-    """Fit ``flow`` to samples ``x`` (optionally conditional on ``context``)."""
+def train_mle(
+    flow, x, context=None, config: MLEConfig = MLEConfig(), mesh=None
+) -> TrainResult:
+    """Fit ``flow`` to samples ``x`` (optionally conditional on ``context``).
+
+    With ``mesh`` (a ``naz_tpu.parallel.make_mesh`` mesh) the training and
+    validation sets are sharded over the ``data`` axis; params stay
+    replicated and XLA turns the NLL reduction into a psum over ICI —
+    data-parallel training with zero changes elsewhere.
+    """
     cfg = config
     x = jnp.asarray(x)
     n = x.shape[0]
@@ -102,6 +110,20 @@ def train_mle(flow, x, context=None, config: MLEConfig = MLEConfig()) -> TrainRe
     c_tr = context[train_idx] if context is not None else None
     c_val = context[val_idx] if context is not None else None
     n_tr = int(x_tr.shape[0])
+
+    if mesh is not None:
+        from naz_tpu.parallel import shard_data
+
+        n_shards = mesh.shape["data"]
+        keep_tr = (n_tr // n_shards) * n_shards
+        x_tr = shard_data(x_tr[:keep_tr], mesh)
+        c_tr = shard_data(c_tr[:keep_tr], mesh) if c_tr is not None else None
+        keep_val = max((n_val // n_shards) * n_shards, 0)
+        if keep_val:
+            x_val = shard_data(x_val[:keep_val], mesh)
+            c_val = shard_data(c_val[:keep_val], mesh) if c_val is not None else None
+            n_val = keep_val
+        n_tr = keep_tr
 
     if cfg.batch_size is not None:
         batch = min(cfg.batch_size, n_tr)

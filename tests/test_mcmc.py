@@ -145,3 +145,25 @@ def test_hmc_kernel_via_run_driver():
     np.testing.assert_allclose(flat.var(0), np.ones(4), atol=0.3)
     # fixed trajectory length: every transition costs exactly 16 grad evals
     assert (np.asarray(batch.num_grad_evals) == 16).all()
+
+
+def test_nuts_funnel_moments():
+    """Neal's funnel (moderate): v ~ N(0, 1.5^2), x_i | v ~ N(0, e^v).
+    Hard geometry — checks the sampler doesn't collapse into the neck."""
+
+    def pot(q):
+        v, x = q[0], q[1:]
+        lp_v = -0.5 * (v / 1.5) ** 2
+        lp_x = -0.5 * jnp.sum(x * x) * jnp.exp(-v) - 0.5 * x.shape[0] * v
+        return -(lp_v + lp_x)
+
+    q0 = 0.5 * jax.random.normal(jax.random.PRNGKey(7), (4, 4))
+    cfg = MCMCRunConfig(
+        num_warmup=800, num_samples=1500, num_chains=4, seed=7, target_accept=0.9
+    )
+    _, batch, _ = run_nuts(pot, q0, cfg)
+    v = np.asarray(batch.q)[:, :, 0].ravel()
+    # v marginal is exactly N(0, 1.5^2); generous tolerances (funnel mixing)
+    assert abs(v.mean()) < 0.35, v.mean()
+    assert 1.0 < v.std() < 2.0, v.std()
+    assert float(np.asarray(batch.diverging).mean()) < 0.1

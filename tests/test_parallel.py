@@ -67,3 +67,30 @@ def test_shard_chain_state_preserves_values():
     sharded = shard_chain_state(tree, mesh)
     np.testing.assert_array_equal(np.asarray(sharded["a"]), np.asarray(tree["a"]))
     assert len(sharded["a"].sharding.device_set) == jax.device_count()
+
+
+def test_data_parallel_mle_matches_single_device():
+    from naz_tpu.train import MLEConfig, train_mle
+
+    flow_a = maf_flow(2, 2, (8,), seed=0)
+    flow_b = maf_flow(2, 2, (8,), seed=0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (512, 2))
+    cfg = MLEConfig(lr=5e-3, max_epochs=30, batch_frac=1.0, sync_every=10, seed=1)
+    res_plain = train_mle(flow_a, x, config=cfg)
+    mesh = make_mesh(1, 8)
+    res_shard = train_mle(flow_b, x, config=cfg, mesh=mesh)
+    np.testing.assert_allclose(
+        res_shard.val_losses, res_plain.val_losses, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_svi_particle_sharding_runs():
+    from naz_tpu.bayes import BayesianFlow, SVIConfig, fit_svi, make_flow_loglik
+
+    flow, params, x = _setup()
+    bf = BayesianFlow(make_flow_loglik(flow, x), params, scale_max=0.05)
+    mesh = make_mesh(8, 1)
+    res = fit_svi(
+        bf, SVIConfig(num_steps=40, num_particles=8, sync_every=20), mesh=mesh
+    )
+    assert np.isfinite(res.losses).all()
