@@ -51,6 +51,8 @@ def main(argv=None):
     p.add_argument("--chckpt", type=str, default=None, help="checkpoint dir")
     p.add_argument("--calibrate", action="store_true")
     p.add_argument("--max-depth", type=int, default=8)
+    p.add_argument("--steps-per-program", type=int, default=4,
+                   help="MCMC transitions per device program (remote workers kill long executions)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -104,6 +106,7 @@ def main(argv=None):
         num_samples=args.num_samples,
         num_chains=args.num_chains,
         max_depth=args.max_depth,
+        steps_per_program=args.steps_per_program,
         seed=args.seed,
     )
     post = fit_nuts(bf, cfg, checkpoint_dir=args.chckpt)

@@ -22,7 +22,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax

@@ -20,7 +20,7 @@ Uniform priors contribute only that Jacobian term.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ needs the arrays.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax.numpy as jnp

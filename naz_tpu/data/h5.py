@@ -9,8 +9,6 @@ layout so datasets produced for the reference drop straight in.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 

@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import erf, erfc, ndtri, log_ndtr

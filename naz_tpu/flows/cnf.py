@@ -24,7 +24,7 @@ Convention matches the other transforms: ``forward`` = data -> latent
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import numpy as np
 import jax

@@ -12,7 +12,7 @@ with ``jit``/``vmap``/``grad``/``shard_map``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

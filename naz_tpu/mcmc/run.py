@@ -27,8 +27,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from naz_tpu.mcmc.adapt import (
-    DualAveragingState,
-    WelfordState,
     build_warmup_schedule,
     da_init,
     da_update,
@@ -61,6 +59,7 @@ class MCMCRunConfig:
     # hit runtime watchdogs on remote TPU workers and give no progress
     # signal; chunking bounds program runtime and enables checkpointing.
     steps_per_program: int = 25
+    verbose: bool = False
     # DA hyperparams (Stan defaults)
     da_gamma: float = 0.05
     da_t0: float = 10.0
@@ -230,6 +229,14 @@ def warmup_nuts(
         xs = (jnp.asarray(is_slow_np[s:e]), jnp.asarray(window_end_np[s:e]))
         carry, acc = _chunk(carry, xs, e - s)
         accept_chunks.append(acc)
+        if cfg.verbose:
+            print(
+                f"[naz_tpu] warmup {e}/{cfg.num_warmup}: accept "
+                f"{float(jnp.mean(acc[-1])):.3f}, step "
+                f"{np.asarray(jnp.exp(carry['da'].log_step)).mean():.2e}, "
+                f"grad evals {int(carry['n_evals'])}",
+                flush=True,
+            )
 
     final_step = jnp.exp(carry["da"].log_step_avg)
     new_state = ChainState(
@@ -283,6 +290,12 @@ def sample_nuts(
         length = min(chunk, num_samples - s)
         state, out = _sample(state, length)
         outs.append(out)
+        if cfg.verbose:
+            print(
+                f"[naz_tpu] sampling {min(s + length, num_samples)}/{num_samples}: "
+                f"accept {float(jnp.mean(out[1])):.3f}",
+                flush=True,
+            )
     qs, acc, nev, div = (jnp.concatenate(parts) for parts in zip(*outs))
     return state, SampleBatch(qs, acc, nev, div)
 

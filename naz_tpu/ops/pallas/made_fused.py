@@ -26,7 +26,6 @@ the pure-jnp path. ``interpret=True`` runs on CPU for tests.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
