@@ -41,7 +41,6 @@ class CNFTransform:
     activation: Callable = jnp.tanh
     num_steps: int = 32
     trace: str = "exact"  # "exact" | "hutchinson"
-    hutchinson_samples: int = 1
 
     @staticmethod
     def create(

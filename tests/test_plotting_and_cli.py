@@ -62,3 +62,52 @@ def test_multihost_initialize_single_process():
     info = initialize_multihost()
     assert info["process_count"] >= 1
     assert info["global_devices"] >= 1
+
+
+def test_phase_timer_and_grad_meter(capsys):
+    from naz_tpu.utils import GradEvalMeter, phase_timer
+
+    results = {}
+    with phase_timer("unit-test-phase", results):
+        jnp.ones((64, 64)).sum().block_until_ready()
+    assert results["unit-test-phase"] > 0
+    out = capsys.readouterr().out
+    assert "unit-test-phase" in out
+
+    m = GradEvalMeter()
+    m.add(np.array([10, 20]), 2.0)
+    m.add(np.array([30]), 1.0)
+    assert m.evals == 60
+    np.testing.assert_allclose(m.evals_per_s, 20.0)
+
+
+def test_calibration_curve_small_flow():
+    from naz_tpu.stats import calibration_curve
+    from naz_tpu.train import MLEConfig, train_mle
+
+    key = jax.random.PRNGKey(0)
+    x = 0.8 * jax.random.normal(key, (3000, 2))
+    flow = maf_flow(2, 2, (16,), seed=0)
+    res = train_mle(
+        flow, x, config=MLEConfig(lr=5e-3, max_epochs=100, batch_frac=0.5, patience=20)
+    )
+    # fake posterior: small jitters of the fitted params
+    draws = jax.tree.map(
+        lambda a: jnp.stack([a * (1 + 0.001 * i) for i in range(8)]), res.params
+    )
+    cs = [0.3, 0.6, 0.9]
+    cov = np.asarray(
+        calibration_curve(
+            flow,
+            draws,
+            np.asarray(0.8 * jax.random.normal(jax.random.PRNGKey(9), (20000, 2))),
+            jax.random.PRNGKey(1),
+            nq=16,
+            cs=cs,
+            n_samples=20000,
+            fthin=2,
+            draw_batch=4,
+        )
+    )
+    assert cov.shape == (3,) and np.isfinite(cov).all()
+    assert (cov >= 0).all() and (cov <= 1).all()
