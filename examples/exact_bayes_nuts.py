@@ -134,6 +134,7 @@ def main(argv=None):
             n_samples=100_000,
             context=jnp.asarray(test_lam),
             fthin=4,
+            draw_batch=16,
         )
         for c, e in zip(cs, np.asarray(cov)):
             print(f"  nominal {c:.2f} -> empirical {e:.3f}")

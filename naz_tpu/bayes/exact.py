@@ -62,9 +62,15 @@ def fit_nuts(
     # diagnostics on a cheap projection: the log-likelihood trace and the
     # first few weight coordinates (full per-weight R̂ on 10^5-10^6 weights
     # is possible but rarely wanted; expose the draws so callers can).
-    ll = jax.vmap(
-        jax.vmap(bayes_flow.log_likelihood_flat)
-    )(out["params_flat"])
+    # Chunked: a vmap over all draws would materialize (draws x N x hidden)
+    # activations and blow HBM at reference scale.
+    flat = np.asarray(out["params_flat"])
+    flat2 = flat.reshape(-1, flat.shape[-1])
+    ll_fn = jax.jit(jax.vmap(bayes_flow.log_likelihood_flat))
+    lls = []
+    for s in range(0, flat2.shape[0], 8):
+        lls.append(np.asarray(ll_fn(jnp.asarray(flat2[s : s + 8]))))
+    ll = jnp.asarray(np.concatenate(lls).reshape(flat.shape[:-1]))
     out["log_likelihood"] = ll
     k = min(8, u.shape[-1])
     diag_axis = jnp.concatenate([ll[..., None], u[..., :k]], axis=-1)

@@ -225,20 +225,40 @@ class BayesianFlow:
 
     # -- posterior post-processing ----------------------------------------
 
-    def posterior_params(self, u_samples):
+    def posterior_params(self, u_samples, chunk: int = 64):
         """Map (..., dim) unconstrained draws to constrained posteriors.
 
         Returns dict with ``standard``, ``scale``, ``params_flat`` and
         ``params`` (unraveled pytree with the sample axes leading), the
         analogue of ``samples["params"] = vmap(unravel_fn)(...)``
-        (``bflow_jax_maf.py:334``).
+        (``bflow_jax_maf.py:334``). Draws stream through the device in
+        ``chunk``-sized slices and land as host (numpy) arrays — a full
+        weight posterior (10^3 draws x 10^6 weights x several outputs) does
+        not fit in HBM at once.
         """
-        u = jnp.asarray(u_samples)
+        import numpy as np
+
+        u = np.asarray(u_samples)
         lead = u.shape[:-1]
         u2 = u.reshape((-1, u.shape[-1]))
-        c = jax.vmap(self.constrain)(u2)
-        params = jax.vmap(self._unravel)(c["params_flat"])
-        out = {
+
+        fn = jax.jit(
+            lambda uu: (
+                lambda c: (c, jax.vmap(self._unravel)(c["params_flat"]))
+            )(jax.vmap(self.constrain)(uu))
+        )
+        cs, ps = [], []
+        for s in range(0, u2.shape[0], chunk):
+            c, params = fn(jnp.asarray(u2[s : s + chunk]))
+            cs.append(jax.tree.map(np.asarray, c))
+            ps.append(jax.tree.map(np.asarray, params))
+        c = {
+            k: np.concatenate([x[k] for x in cs], axis=0)
+            for k in cs[0]
+            if k not in ("log_det", "log_prior")
+        }
+        params = jax.tree.map(lambda *a: np.concatenate(a, axis=0), *ps)
+        return {
             "standard": c["standard"].reshape(lead + (-1,)),
             "scale": c["scale"].reshape(lead + c["scale"].shape[1:]),
             "params_flat": c["params_flat"].reshape(lead + (-1,)),
@@ -246,4 +266,3 @@ class BayesianFlow:
                 lambda a: a.reshape(lead + a.shape[1:]), params
             ),
         }
-        return out
