@@ -85,19 +85,35 @@ def main(argv=None):
         hidden_dims=tuple(args.hidden),
         seed=args.seed,
     ).build()
-    mle = train_mle(
-        flow,
-        theta,
-        context=lam,
-        config=MLEConfig(
-            lr=1e-3, max_epochs=args.mle_epochs, batch_frac=0.05, patience=64,
-            verbose=True, sync_every=50,
-        ),
+    import os as _os
+
+    from naz_tpu.io.checkpoint import load_pytree, save_pytree
+
+    mle_ckpt = (
+        _os.path.join(args.chckpt, "mle_params.npz") if args.chckpt else None
     )
-    print(f"MLE val NLL {mle.val_losses[-1]:.4f}")
+    if mle_ckpt and _os.path.exists(mle_ckpt):
+        template = flow.init_params(jax.random.PRNGKey(args.seed))
+        mle_params = load_pytree(mle_ckpt, template)
+        print("loaded MLE params from checkpoint")
+    else:
+        mle = train_mle(
+            flow,
+            theta,
+            context=lam,
+            config=MLEConfig(
+                lr=1e-3, max_epochs=args.mle_epochs, batch_frac=0.05, patience=64,
+                verbose=True, sync_every=50,
+            ),
+        )
+        print(f"MLE val NLL {mle.val_losses[-1]:.4f}")
+        mle_params = mle.params
+        if mle_ckpt:
+            _os.makedirs(args.chckpt, exist_ok=True)
+            save_pytree(mle_ckpt, mle_params)
 
     bf = BayesianFlow(
-        make_flow_loglik(flow, theta, lam), mle.params, scale_max=args.sigma
+        make_flow_loglik(flow, theta, lam), mle_params, scale_max=args.sigma
     )
     print(f"model complexity: {bf.complexity}")
 
