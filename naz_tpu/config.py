@@ -34,6 +34,7 @@ class FlowSpec:
     hidden_dims: Tuple[int, ...] = (150, 150, 150)
     count_bins: int = 8  # spline flows
     spline_bound: float = 5.0
+    spline_order: str = "quadratic"  # or "linear" (transforms.py:180-189)
     cnf_steps: int = 32
     bounds: Optional[Tuple[Sequence[float], Sequence[float]]] = None
     dropout_rate: float = 0.0
@@ -66,6 +67,7 @@ class FlowSpec:
                 self.hidden_dims,
                 count_bins=self.count_bins,
                 bound=self.spline_bound,
+                order=self.spline_order,
                 dropout_rate=self.dropout_rate,
                 **common,
             )
@@ -76,6 +78,7 @@ class FlowSpec:
                 self.hidden_dims,
                 count_bins=self.count_bins,
                 bound=self.spline_bound,
+                order=self.spline_order,
                 dropout_rate=self.dropout_rate,
                 **common,
             )

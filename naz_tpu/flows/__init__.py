@@ -40,6 +40,7 @@ def nsa_flow(
     *,
     count_bins: int = 8,
     bound: float = 5.0,
+    order: str = "quadratic",
     bounds=None,
     embedding=None,
     seed: int = 0,
@@ -47,7 +48,9 @@ def nsa_flow(
     dropout_rate: float = 0.0,
 ) -> Flow:
     """Neural-spline autoregressive flow (reference ``flow_type="nsa"``,
-    ``/root/reference/src/naz/flows/transforms.py:165-198``)."""
+    ``/root/reference/src/naz/flows/transforms.py:165-198``; ``order``
+    selects rational-quadratic or linear-rational elementwise maps as
+    there)."""
     t = SplineAutoregressiveFlow.create(
         dim,
         n_layers,
@@ -56,6 +59,7 @@ def nsa_flow(
         seed=seed,
         count_bins=count_bins,
         bound=bound,
+        order=order,
         invert=invert,
         dropout_rate=dropout_rate,
     )
@@ -71,6 +75,7 @@ def nsc_flow(
     split_dim=None,
     count_bins: int = 8,
     bound: float = 5.0,
+    order: str = "quadratic",
     bounds=None,
     embedding=None,
     seed: int = 0,
@@ -86,6 +91,7 @@ def nsc_flow(
         split_dim=split_dim,
         count_bins=count_bins,
         bound=bound,
+        order=order,
         dropout_rate=dropout_rate,
         seed=seed,
     )

@@ -31,19 +31,38 @@ from jax import lax
 
 from naz_tpu.flows.maf import MaskedAutoregressiveFlow
 from naz_tpu.ops.masks import made_masks, random_permutations
+from naz_tpu.ops.lrs import lrs_forward, lrs_inverse, prepare_lrs_params
 from naz_tpu.ops.rqs import prepare_rqs_params, rqs_forward, rqs_inverse
+
+
+def _spline_n_params(order: str, count_bins: int) -> int:
+    """Conditioner outputs per feature: quadratic 3K-1, linear 4K-1.
+
+    Matches the reference's ``param_dims`` selection by ``order``
+    (``transforms.py:180-189``; linear adds K middle-point lambdas)."""
+    if order == "quadratic":
+        return 3 * count_bins - 1
+    if order == "linear":
+        return 4 * count_bins - 1
+    raise ValueError(f"unknown spline order {order!r}: use 'quadratic' or 'linear'")
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class SplineAutoregressiveFlow(MaskedAutoregressiveFlow):
-    """Stacked MADE layers with rational-quadratic-spline elementwise maps."""
+    """Stacked MADE layers with monotone-spline elementwise maps.
+
+    ``order="quadratic"`` (default) uses rational-quadratic splines (Durkan
+    et al.), ``order="linear"`` linear-rational splines (Dolatabadi et al.)
+    — the two orders exposed by the reference factory
+    (``transforms.py:165-198``)."""
 
     count_bins: int = 8
     bound: float = 5.0
+    order: str = "quadratic"
 
     @property
     def n_param_blocks(self) -> int:
-        return 3 * self.count_bins - 1
+        return _spline_n_params(self.order, self.count_bins)
 
     @staticmethod
     def create(
@@ -57,10 +76,11 @@ class SplineAutoregressiveFlow(MaskedAutoregressiveFlow):
         activation: Callable = jnp.tanh,
         count_bins: int = 8,
         bound: float = 5.0,
+        order: str = "quadratic",
         invert: bool = False,
         dropout_rate: float = 0.0,
     ) -> "SplineAutoregressiveFlow":
-        n_params = 3 * count_bins - 1
+        n_params = _spline_n_params(order, count_bins)
         if permutations is None:
             permutations = random_permutations(np.random.default_rng(seed), dim, n_layers)
         permutations = np.asarray(permutations)
@@ -84,20 +104,27 @@ class SplineAutoregressiveFlow(MaskedAutoregressiveFlow):
             dropout_rate=dropout_rate,
             count_bins=count_bins,
             bound=bound,
+            order=order,
         )
 
     def _knots(self, blocks):
-        raw = jnp.stack(blocks, axis=-1)  # (..., dim, 3K-1)
+        raw = jnp.stack(blocks, axis=-1)  # (..., dim, n_param_blocks)
+        if self.order == "linear":
+            return prepare_lrs_params(raw, self.count_bins, self.bound)
         return prepare_rqs_params(raw, self.count_bins, self.bound)
 
     def _elem_fwd(self, x, blocks):
-        xk, yk, dk = self._knots(blocks)
-        z, ld = rqs_forward(x, xk, yk, dk, self.bound)
+        if self.order == "linear":
+            z, ld = lrs_forward(x, *self._knots(blocks), self.bound)
+        else:
+            z, ld = rqs_forward(x, *self._knots(blocks), self.bound)
         return z, jnp.sum(ld, axis=-1)
 
     def _elem_inv(self, z, blocks):
-        xk, yk, dk = self._knots(blocks)
-        x, ld = rqs_inverse(z, xk, yk, dk, self.bound)
+        if self.order == "linear":
+            x, ld = lrs_inverse(z, *self._knots(blocks), self.bound)
+        else:
+            x, ld = rqs_inverse(z, *self._knots(blocks), self.bound)
         return x, jnp.sum(ld, axis=-1)
 
 
@@ -118,6 +145,7 @@ class SplineCoupling:
     split_dim: int
     count_bins: int = 8
     bound: float = 5.0
+    order: str = "quadratic"
     activation: Callable = jnp.tanh
     dropout_rate: float = 0.0
     remat: bool = True
@@ -132,6 +160,7 @@ class SplineCoupling:
         split_dim: Optional[int] = None,
         count_bins: int = 8,
         bound: float = 5.0,
+        order: str = "quadratic",
         activation: Callable = jnp.tanh,
         dropout_rate: float = 0.0,
         seed: int = 0,
@@ -140,6 +169,7 @@ class SplineCoupling:
             raise ValueError("coupling flows need dim >= 2")
         if split_dim is None:
             split_dim = dim // 2
+        _spline_n_params(order, count_bins)  # validate
         return SplineCoupling(
             dim=dim,
             context_dim=context_dim,
@@ -148,6 +178,7 @@ class SplineCoupling:
             split_dim=split_dim,
             count_bins=count_bins,
             bound=bound,
+            order=order,
             activation=activation,
             dropout_rate=dropout_rate,
         )
@@ -158,7 +189,7 @@ class SplineCoupling:
 
     @property
     def _n_out(self) -> int:
-        return self._n_upper * (3 * self.count_bins - 1)
+        return self._n_upper * _spline_n_params(self.order, self.count_bins)
 
     def init_params(self, key):
         cin = self.split_dim + self.context_dim
@@ -196,12 +227,17 @@ class SplineCoupling:
         lower, upper = x[..., : self.split_dim], x[..., self.split_dim :]
         h = lower if context is None else jnp.concatenate([context, lower], axis=-1)
         raw = self._cond_mlp(h, layer_params, dropout_key)
-        raw = raw.reshape(raw.shape[:-1] + (self._n_upper, 3 * self.count_bins - 1))
-        xk, yk, dk = prepare_rqs_params(raw, self.count_bins, self.bound)
-        if inverse:
-            new_upper, ld = rqs_inverse(upper, xk, yk, dk, self.bound)
+        raw = raw.reshape(
+            raw.shape[:-1]
+            + (self._n_upper, _spline_n_params(self.order, self.count_bins))
+        )
+        if self.order == "linear":
+            knots = prepare_lrs_params(raw, self.count_bins, self.bound)
+            fn = lrs_inverse if inverse else lrs_forward
         else:
-            new_upper, ld = rqs_forward(upper, xk, yk, dk, self.bound)
+            knots = prepare_rqs_params(raw, self.count_bins, self.bound)
+            fn = rqs_inverse if inverse else rqs_forward
+        new_upper, ld = fn(upper, *knots, self.bound)
         y = jnp.concatenate([lower, new_upper], axis=-1)
         return y, jnp.sum(ld, axis=-1)
 

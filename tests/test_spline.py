@@ -5,6 +5,7 @@ import pytest
 
 from naz_tpu.flows import nsa_flow, nsc_flow
 from naz_tpu.flows.spline import SplineAutoregressiveFlow, SplineCoupling
+from naz_tpu.ops.lrs import lrs_forward, lrs_inverse, prepare_lrs_params
 from naz_tpu.ops.rqs import prepare_rqs_params, rqs_forward, rqs_inverse
 from naz_tpu.train import MLEConfig, train_mle
 
@@ -38,11 +39,60 @@ def test_rqs_logdet_matches_autodiff():
         np.testing.assert_allclose(float(ld), np.log(abs(float(g))), rtol=1e-3)
 
 
+def test_lrs_roundtrip_and_identity_init():
+    raw = jax.random.normal(jax.random.PRNGKey(0), (64, 3, 31))
+    knots = prepare_lrs_params(raw, 8, 4.0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-6, maxval=6)
+    y, ld_f = lrs_forward(x, *knots, 4.0)
+    # monotone: order preserved along a sorted axis
+    xs = jnp.sort(x, axis=0)
+    ys, _ = lrs_forward(xs, *jax.tree.map(lambda a: a[:1], knots), 4.0)
+    assert bool(jnp.all(jnp.diff(ys, axis=0) > 0))
+    x2, ld_i = lrs_inverse(y, *knots, 4.0)
+    # f32 tolerance is looser than RQS: the Moebius pieces are exact in f64
+    # but worse-conditioned in low-derivative bins
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ld_f + ld_i), 0.0, atol=1e-3)
+    # zero raw params -> identity map inside the bound
+    knots0 = prepare_lrs_params(jnp.zeros((5, 31)), 8, 4.0)
+    x0 = jnp.linspace(-3.9, 3.9, 5)
+    y0, ld0 = lrs_forward(x0, *knots0, 4.0)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(x0), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ld0), 0.0, atol=1e-2)
+
+
+def test_lrs_logdet_matches_autodiff():
+    raw = jax.random.normal(jax.random.PRNGKey(2), (31,))
+    knots = prepare_lrs_params(raw, 8, 3.0)
+
+    def f(x):
+        return lrs_forward(x, *knots, 3.0)[0]
+
+    for xv in [-2.5, -0.3, 0.0, 1.7, 2.9]:
+        g = jax.grad(f)(jnp.asarray(xv))
+        _, ld = lrs_forward(jnp.asarray(xv), *knots, 3.0)
+        np.testing.assert_allclose(float(ld), np.log(abs(float(g))), rtol=1e-3)
+
+
+def test_lrs_c1_at_lambda():
+    """Derivative is continuous across the learned middle knot."""
+    raw = jax.random.normal(jax.random.PRNGKey(3), (31,))
+    xk, yk, dk, lam = prepare_lrs_params(raw, 8, 3.0)
+    # middle point of bin 4
+    x0, x1 = float(xk[4]), float(xk[5])
+    xm = x0 + float(lam[4]) * (x1 - x0)
+    eps = 1e-4
+    _, ld_lo = lrs_forward(jnp.asarray(xm - eps), xk, yk, dk, lam, 3.0)
+    _, ld_hi = lrs_forward(jnp.asarray(xm + eps), xk, yk, dk, lam, 3.0)
+    np.testing.assert_allclose(float(ld_lo), float(ld_hi), rtol=1e-2)
+
+
 @pytest.mark.parametrize("builder", [nsa_flow, nsc_flow])
 @pytest.mark.parametrize("ctx", [0, 2])
-def test_spline_flow_roundtrip(builder, ctx):
+@pytest.mark.parametrize("order", ["quadratic", "linear"])
+def test_spline_flow_roundtrip(builder, ctx, order):
     kwargs = dict(context_dim=ctx) if ctx else {}
-    flow = builder(3, 3, (16,), seed=0, **kwargs)
+    flow = builder(3, 3, (16,), seed=0, order=order, **kwargs)
     params = flow.init_params(jax.random.PRNGKey(0))
     params = jax.tree.map(
         lambda p: p + 0.3 * jax.random.normal(jax.random.PRNGKey(1), p.shape), params
@@ -52,13 +102,15 @@ def test_spline_flow_roundtrip(builder, ctx):
     c = jax.random.normal(jax.random.PRNGKey(3), (10, ctx)) if ctx else None
     z, ld_f = t.forward(tp, x, context=c)
     x2, ld_i = t.inverse(tp, z, context=c)
-    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-3, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(ld_f + ld_i), 0.0, atol=1e-3)
+    tol = 1e-3 if order == "quadratic" else 2e-2  # LRS f32 conditioning
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(ld_f + ld_i), 0.0, atol=tol)
 
 
 @pytest.mark.parametrize("builder", [nsa_flow, nsc_flow])
-def test_spline_logdet_matches_autodiff(builder):
-    flow = builder(3, 2, (16,), seed=1)
+@pytest.mark.parametrize("order", ["quadratic", "linear"])
+def test_spline_logdet_matches_autodiff(builder, order):
+    flow = builder(3, 2, (16,), seed=1, order=order)
     params = flow.init_params(jax.random.PRNGKey(0))
     params = jax.tree.map(
         lambda p: p + 0.3 * jax.random.normal(jax.random.PRNGKey(1), p.shape), params
