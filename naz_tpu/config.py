@@ -36,6 +36,7 @@ class FlowSpec:
     spline_bound: float = 5.0
     spline_order: str = "quadratic"  # or "linear" (transforms.py:180-189)
     cnf_steps: int = 32
+    cnf_solver: str = "rk4"  # "rk4" | "midpoint" | "dopri5" | "bosh3"
     bounds: Optional[Tuple[Sequence[float], Sequence[float]]] = None
     dropout_rate: float = 0.0
     seed: int = 0
@@ -87,6 +88,7 @@ class FlowSpec:
                 self.dim,
                 self.hidden_dims,
                 num_steps=self.cnf_steps,
+                solver=self.cnf_solver,
                 **common,
             )
         raise ValueError(f"unknown flow_type {self.flow_type!r}; expected {FLOW_TYPES}")

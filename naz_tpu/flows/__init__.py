@@ -106,6 +106,9 @@ def cnf_flow(
     num_blocks: int = 1,
     num_steps: int = 32,
     trace: str = "exact",
+    solver: str = "rk4",
+    rtol: float = 1e-5,
+    atol: float = 1e-5,
     bounds=None,
     embedding=None,
     seed: int = 0,
@@ -114,7 +117,8 @@ def cnf_flow(
     ``/root/reference/src/naz/flows/continuous_transforms.py:124-139``)."""
     ts = tuple(
         CNFTransform.create(
-            dim, hidden_dims, context_dim, num_steps=num_steps, trace=trace
+            dim, hidden_dims, context_dim, num_steps=num_steps, trace=trace,
+            solver=solver, rtol=rtol, atol=atol,
         )
         for _ in range(num_blocks)
     )

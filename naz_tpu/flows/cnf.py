@@ -11,7 +11,10 @@ exact-vs-Hutchinson traces).
 TPU-first choices:
 
 * default fixed-step RK4 (static shapes, one ``lax.scan``) with backprop
-  through the solver; adaptive dopri5 available for parity;
+  through the solver; ``solver="midpoint"`` is the cheaper fixed-step
+  option; ``solver="dopri5"``/``"bosh3"`` run the adaptive embedded pairs
+  through the **continuous adjoint** (``ops.odeint.odeint_adjoint``) so
+  they remain trainable — the reference's dopri5+adjoint mode;
 * the trace is **exact** by default (``dim`` jvp's — for naz's 2-4-D
   problems that's cheaper and noise-free; Hutchinson available for high
   dims);
@@ -29,8 +32,18 @@ from typing import Callable, Sequence, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
 
-from naz_tpu.ops.odeint import odeint_rk4
+from naz_tpu.ops.odeint import (
+    odeint_adjoint,
+    odeint_bosh3,
+    odeint_dopri5,
+    odeint_midpoint,
+    odeint_rk4,
+)
+
+_FIXED_SOLVERS = {"rk4": odeint_rk4, "midpoint": odeint_midpoint}
+_ADAPTIVE_SOLVERS = {"dopri5": odeint_dopri5, "bosh3": odeint_bosh3}
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -39,8 +52,12 @@ class CNFTransform:
     context_dim: int
     hidden_dims: Tuple[int, ...]
     activation: Callable = jnp.tanh
-    num_steps: int = 32
+    num_steps: int = 32  # fixed-step solvers
     trace: str = "exact"  # "exact" | "hutchinson"
+    solver: str = "rk4"  # "rk4" | "midpoint" | "dopri5" | "bosh3"
+    rtol: float = 1e-5  # adaptive solvers
+    atol: float = 1e-5
+    max_steps: int = 1000
 
     @staticmethod
     def create(
@@ -51,7 +68,16 @@ class CNFTransform:
         activation: Callable = jnp.tanh,
         num_steps: int = 32,
         trace: str = "exact",
+        solver: str = "rk4",
+        rtol: float = 1e-5,
+        atol: float = 1e-5,
+        max_steps: int = 1000,
     ) -> "CNFTransform":
+        if solver not in _FIXED_SOLVERS and solver not in _ADAPTIVE_SOLVERS:
+            raise ValueError(
+                f"unknown solver {solver!r}: use one of "
+                f"{sorted(_FIXED_SOLVERS) + sorted(_ADAPTIVE_SOLVERS)}"
+            )
         return CNFTransform(
             dim=dim,
             context_dim=context_dim,
@@ -59,6 +85,10 @@ class CNFTransform:
             activation=activation,
             num_steps=num_steps,
             trace=trace,
+            solver=solver,
+            rtol=rtol,
+            atol=atol,
+            max_steps=max_steps,
         )
 
     # -- vector field ------------------------------------------------------
@@ -108,14 +138,42 @@ class CNFTransform:
     # -- flow directions ---------------------------------------------------
 
     def _integrate(self, params, x, context, t0, t1, eps):
-        def aug(t, state):
-            x, _ = state
-            f, tr = self._vf_and_trace(params, t, x, context, eps)
-            return (f, tr)
-
         ld0 = jnp.zeros(x.shape[:-1], x.dtype)
-        x1, ld = odeint_rk4(aug, (x, ld0), t0, t1, self.num_steps)
-        return x1, ld
+
+        if self.solver in _FIXED_SOLVERS:
+            def aug(t, state):
+                x, _ = state
+                f, tr = self._vf_and_trace(params, t, x, context, eps)
+                return (f, tr)
+
+            return _FIXED_SOLVERS[self.solver](
+                aug, (x, ld0), t0, t1, self.num_steps
+            )
+
+        # adaptive path: flat augmented state (one shared step size for the
+        # batch, as torchdyn), continuous adjoint for training
+        s0, unravel = ravel_pytree((x, ld0))
+        base = _ADAPTIVE_SOLVERS[self.solver]
+
+        def solve(g, y0, ta, tb):
+            return base(
+                g, y0, ta, tb,
+                rtol=self.rtol, atol=self.atol, max_steps=self.max_steps,
+            )
+
+        def dyn(t, s, p):
+            xx, _ = unravel(s)
+            f, tr = self._vf_and_trace(
+                p["params"], t, xx, p["context"], p["eps"]
+            )
+            ds, _ = ravel_pytree((f, tr))
+            return ds
+
+        s1 = odeint_adjoint(
+            solve, dyn, t0, t1,
+            {"params": params, "context": context, "eps": eps}, s0,
+        )
+        return unravel(s1)
 
     def _eps(self, x, dropout_key):
         if self.trace == "exact":
