@@ -1,8 +1,10 @@
+import numpy as np
+
 from naz_tpu.flows.flow import Flow
 from naz_tpu.flows.maf import MaskedAutoregressiveFlow
 from naz_tpu.flows.spline import SplineAutoregressiveFlow, SplineCoupling
 from naz_tpu.flows.cnf import CNFTransform
-from naz_tpu.flows.norms import ActNorm
+from naz_tpu.flows.norms import ActNorm, BatchNorm
 
 
 def maf_flow(
@@ -16,20 +18,53 @@ def maf_flow(
     seed: int = 0,
     invert: bool = False,
     dropout_rate: float = 0.0,
+    norm: str = "none",
 ) -> Flow:
     """Convenience factory mirroring the reference's ``flow_type="maf"``
     (``/root/reference/src/naz/flows/flow.py:21-42``): a Flow with a single
-    stacked-MAF transform."""
-    t = MaskedAutoregressiveFlow.create(
-        dim,
-        n_layers,
-        hidden_dims,
-        context_dim,
-        seed=seed,
-        invert=invert,
-        dropout_rate=dropout_rate,
+    stacked-MAF transform.
+
+    ``norm="actnorm"`` / ``"batchnorm"`` interleaves a normalization layer
+    after every MADE layer — the reference factory's ``batch_norm`` option
+    (``transforms.py:147-151``). This splits the single stacked-layer scan
+    into ``n_layers`` one-layer blocks (more programs to compile), so leave
+    it off unless the deeper stack actually needs the conditioning help."""
+    if norm == "none":
+        t = MaskedAutoregressiveFlow.create(
+            dim,
+            n_layers,
+            hidden_dims,
+            context_dim,
+            seed=seed,
+            invert=invert,
+            dropout_rate=dropout_rate,
+        )
+        return Flow(dim=dim, transforms=(t,), bounds=bounds, embedding=embedding)
+    if norm not in ("actnorm", "batchnorm"):
+        raise ValueError(f"norm must be 'none', 'actnorm' or 'batchnorm', got {norm!r}")
+    from naz_tpu.ops.masks import random_permutations
+
+    perms = random_permutations(np.random.default_rng(seed), dim, n_layers)
+    norm_cls = ActNorm if norm == "actnorm" else BatchNorm
+    transforms = []
+    for l in range(n_layers):
+        transforms.append(
+            MaskedAutoregressiveFlow.create(
+                dim,
+                1,
+                hidden_dims,
+                context_dim,
+                seed=seed,
+                permutations=perms[l : l + 1],
+                invert=invert,
+                dropout_rate=dropout_rate,
+            )
+        )
+        if l < n_layers - 1:
+            transforms.append(norm_cls(dim))
+    return Flow(
+        dim=dim, transforms=tuple(transforms), bounds=bounds, embedding=embedding
     )
-    return Flow(dim=dim, transforms=(t,), bounds=bounds, embedding=embedding)
 
 
 def nsa_flow(
@@ -126,6 +161,7 @@ def cnf_flow(
 
 
 __all__ = [
+    "BatchNorm",
     "Flow",
     "ActNorm",
     "CNFTransform",

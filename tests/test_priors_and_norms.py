@@ -75,6 +75,50 @@ def test_actnorm_roundtrip_and_data_init():
     np.testing.assert_allclose(np.asarray(ld_f + ld_i), 0.0, atol=1e-5)
 
 
+def test_batchnorm_roundtrip_logdet_and_stats():
+    from naz_tpu.flows.norms import BatchNorm
+
+    t = BatchNorm(3)
+    x = 2.0 + 3.0 * jax.random.normal(jax.random.PRNGKey(0), (512, 3))
+    params = t.init_params_from_data(x)
+    z, ld_f = t.forward(params, x)
+    np.testing.assert_allclose(float(jnp.mean(z)), 0.0, atol=0.05)
+    np.testing.assert_allclose(np.asarray(jnp.std(z, axis=0)), 1.0, atol=0.05)
+    x2, ld_i = t.inverse(params, z)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld_f + ld_i), 0.0, atol=1e-5)
+    # logdet matches autodiff
+    g = jax.jacfwd(lambda x: t.forward(params, x)[0])(x[0])
+    sign, logdet = np.linalg.slogdet(np.asarray(g))
+    assert sign == 1
+    np.testing.assert_allclose(float(ld_f[0]), logdet, rtol=1e-5)
+    # EMA stats update moves toward the new batch; no grads into stats
+    x_new = 10.0 + jax.random.normal(jax.random.PRNGKey(1), (512, 3))
+    p2 = t.update_stats(params, x_new, momentum=0.5)
+    assert float(p2["mean"][0]) > float(params["mean"][0]) + 2.0
+    grads = jax.grad(lambda p: jnp.sum(t.forward(p, x)[1]))(params)
+    np.testing.assert_allclose(np.asarray(grads["mean"]), 0.0)
+    np.testing.assert_allclose(np.asarray(grads["var"]), 0.0)
+
+
+@pytest.mark.parametrize("norm", ["actnorm", "batchnorm"])
+def test_maf_flow_interleaved_norm(norm):
+    flow = maf_flow(2, 3, (8,), context_dim=2, seed=0, norm=norm)
+    assert len(flow.transforms) == 5  # 3 MAF blocks + 2 norm layers
+    params = flow.init_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+    c = jax.random.normal(jax.random.PRNGKey(2), (16, 2))
+    lp = flow.log_prob(params, x, context=c)
+    assert lp.shape == (16,) and bool(jnp.isfinite(lp).all())
+    s, lp_s = flow.sample_and_log_prob(params, jax.random.PRNGKey(3), 32, context=c[0])
+    np.testing.assert_allclose(
+        np.asarray(flow.log_prob(params, s, context=c[0])),
+        np.asarray(lp_s),
+        rtol=1e-3,
+        atol=1e-3,
+    )
+
+
 def test_actnorm_composes_in_flow():
     maf = maf_flow(2, 2, (8,), seed=0).transforms[0]
     flow = Flow(dim=2, transforms=(ActNorm(2), maf))
