@@ -88,7 +88,119 @@ def main(argv=None):
     sp.add_argument("--evidence-samples", type=int, default=1000)
     sp.add_argument("--out", required=True)
 
+    cp = sub.add_parser(
+        "calibrate",
+        help="posterior-predictive coverage curves (reference calibrate.py)",
+    )
+    _add_flow_args(cp)
+    cp.add_argument("--data", required=True, help="h5 with test_theta/test_lambda")
+    cp.add_argument("--posterior", required=True, help="npz from `hmc`/`svi`")
+    cp.add_argument("--nq", type=int, nargs="+", default=[25, 49, 100, 400])
+    cp.add_argument("--cs", type=float, nargs=3, default=[0.1, 0.95, 10],
+                    metavar=("START", "STOP", "NUM"))
+    cp.add_argument("--n-samples", type=int, default=1_000_000,
+                    help="PPD samples per posterior draw")
+    cp.add_argument("--max-draws", type=int, default=256)
+    cp.add_argument("--fthin", type=int, default=10, help="bootstrap rounds")
+    cp.add_argument("--itype", default="hpd", choices=["hpd", "eqt"])
+    cp.add_argument("--draw-batch", type=int, default=16)
+    cp.add_argument("--out", required=True, help="output prefix (txt + png per nq)")
+
+    bp = sub.add_parser("bic", help="BIC from a posterior run (compute_bic_simpler)")
+    bp.add_argument("--data", required=True)
+    bp.add_argument("--fthin", type=int, default=1)
+    bp.add_argument("--posterior", required=True, help="npz with log_likelihood")
+    bp.add_argument("--out", default=None, help="optional JSON output path")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "calibrate":
+        import jax
+        from jax.flatten_util import ravel_pytree
+        from naz_tpu.data import load_training_h5
+        from naz_tpu.stats.calibrate import calibration_curve
+        from naz_tpu.stats.plotting import plot_calibration
+
+        d = load_training_h5(args.data)
+        theta_true = np.asarray(
+            d.get("test_theta", d["train_theta"]), dtype=np.float32
+        )
+        lam = d.get("test_lambda", d.get("train_lambda"))
+        # the reference conditions the PPD on the held-out grid point
+        # (calibrate.py:144-150) — one lambda row
+        context = None if lam is None else np.asarray(lam, np.float32)[0]
+
+        flow = _build_flow(
+            args,
+            theta_true,
+            None if context is None else context[None, :],
+        )
+        template = flow.init_params(jax.random.PRNGKey(args.seed))
+        _, unravel = ravel_pytree(template)
+
+        post = np.load(args.posterior)
+        pf = np.asarray(post["params_flat"])
+        pf = pf.reshape(-1, pf.shape[-1])
+        if len(pf) > args.max_draws:
+            pf = pf[:: max(1, len(pf) // args.max_draws)][: args.max_draws]
+        params_draws = jax.vmap(unravel)(jax.numpy.asarray(pf))
+
+        cs = np.linspace(args.cs[0], args.cs[1], int(args.cs[2]))
+        results = {}
+        for nq in args.nq:
+            cov = calibration_curve(
+                flow,
+                params_draws,
+                theta_true,
+                jax.random.PRNGKey(args.seed),
+                nq,
+                cs,
+                n_samples=args.n_samples,
+                context=context,
+                fthin=args.fthin,
+                itype=args.itype,
+                draw_batch=args.draw_batch,
+            )
+            cov = np.asarray(cov)
+            results[nq] = cov
+            np.savetxt(
+                f"{args.out}_nq{nq}.txt",
+                np.stack([cs, cov], axis=1),
+                header="credibility empirical_coverage",
+            )
+            try:
+                ax = plot_calibration(cs, cov, labels=[f"nq={nq}"])
+                ax.figure.savefig(f"{args.out}_nq{nq}.png", dpi=120)
+            except Exception as e:  # matplotlib optional
+                print(f"plot skipped: {e}", file=sys.stderr)
+        print(
+            json.dumps(
+                {str(nq): np.round(c, 4).tolist() for nq, c in results.items()}
+            )
+        )
+        return 0
+
+    if args.cmd == "bic":
+        from naz_tpu.data import load_training_h5
+        from naz_tpu.stats.model_comparison import compute_bic
+
+        d = load_training_h5(args.data, thin=args.fthin)
+        n_data = len(d["train_theta"])
+        post = np.load(args.posterior)
+        log_ls = np.asarray(post["log_likelihood"]).reshape(-1)
+        complexity = int(np.asarray(post["params_flat"]).shape[-1])
+        bic = float(compute_bic(log_ls, n_data, complexity))
+        out = {
+            "bic": bic,
+            "complexity": complexity,
+            "n_data": n_data,
+            "max_log_l": float(np.max(log_ls)),
+        }
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(out, f)
+        print(json.dumps(out))
+        return 0
 
     import jax
     from naz_tpu.io.checkpoint import load_pytree, save_pytree

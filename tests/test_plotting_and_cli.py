@@ -56,6 +56,60 @@ def test_cli_help():
         assert cmd in r.stdout
 
 
+def test_cli_full_pipeline(tmp_path):
+    """h5 -> train-mle -> hmc -> calibrate -> bic, the reference's whole
+    2506.05657 pipeline through the CLI on a tiny problem."""
+    from naz_tpu.data import save_training_h5
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(0)
+    lam = rng.uniform(-1, 1, (600, 2)).astype(np.float32)
+    theta = (lam + 0.3 * rng.normal(size=(600, 2))).astype(np.float32)
+    # held-out point: truth thetas drawn AT the test lambda (parse_data.py)
+    test_lam = np.full((400, 2), 0.2, np.float32)
+    test_theta = (test_lam + 0.3 * rng.normal(size=(400, 2))).astype(np.float32)
+    h5 = tmp_path / "toy.h5"
+    save_training_h5(h5, theta, lam, test_theta=test_theta, test_lambda=test_lam)
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo}
+    flow_args = ["--flow-type", "maf", "--layers", "2", "--hidden", "8"]
+
+    def run(*cmd):
+        r = subprocess.run(
+            [sys.executable, "-m", "naz_tpu", *cmd],
+            capture_output=True, text=True, cwd=repo, timeout=900, env=env,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        return r.stdout
+
+    mle = tmp_path / "mle.npz"
+    run("train-mle", *flow_args, "--data", str(h5), "--epochs", "40",
+        "--batch-frac", "0.5", "--lr", "5e-3", "--out", str(mle))
+    assert mle.exists()
+
+    post = tmp_path / "post.npz"
+    run("hmc", *flow_args, "--data", str(h5), "--mle-params", str(mle),
+        "--num-warmup", "30", "--num-samples", "30", "--num-chains", "2",
+        "--sigma", "0.05", "--out", str(post))
+    pz = np.load(post)
+    assert pz["params_flat"].ndim >= 2 and np.isfinite(pz["log_likelihood"]).all()
+
+    out = run(
+        "calibrate", *flow_args, "--data", str(h5), "--posterior", str(post),
+        "--nq", "16", "--n-samples", "4000", "--max-draws", "8",
+        "--fthin", "2", "--draw-batch", "4", "--out", str(tmp_path / "cal"),
+    )
+    import json
+
+    cov = json.loads(out.strip().splitlines()[-1])["16"]
+    assert all(0.0 <= c <= 1.0 for c in cov)
+    assert (tmp_path / "cal_nq16.txt").exists()
+
+    out = run("bic", "--data", str(h5), "--posterior", str(post))
+    bic = json.loads(out.strip().splitlines()[-1])
+    assert np.isfinite(bic["bic"]) and bic["n_data"] == 600
+
+
 def test_multihost_initialize_single_process():
     from naz_tpu.parallel.distributed import initialize_multihost
 
