@@ -53,6 +53,11 @@ class MLEConfig:
     # train with dropout active (flows built with dropout_rate > 0): each
     # minibatch step draws a fresh dropout mask realization
     dropout: bool = False
+    # optax optimizer factory taking learning_rate (e.g. optax.adamw,
+    # optax.sgd); None -> adam. The plateau LR-decay schedule drives its
+    # learning_rate through inject_hyperparams, replacing the reference's
+    # hand-rolled Adam (trainers/coptimizer.py).
+    optimizer: Optional[Any] = None
     # epochs executed per device program: the host only reads back the stop
     # flag once per chunk, so dispatch/transfer latency amortizes. Early stop
     # overshoots by < sync_every epochs (updates freeze once stop is set).
@@ -135,7 +140,7 @@ def train_mle(
         optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay else optax.identity(),
         optax.clip(cfg.clip_val) if cfg.clip_val is not None else optax.identity(),
         optax.clip_by_global_norm(cfg.clip_norm) if cfg.clip_norm is not None else optax.identity(),
-        optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr),
+        optax.inject_hyperparams(cfg.optimizer or optax.adam)(learning_rate=cfg.lr),
     )
 
     params0 = flow.init_params(k_init)

@@ -51,3 +51,21 @@ def test_early_stop_and_plateau():
     # must have stopped early once lr hit the floor and patience overran again
     assert result.epochs_run < 400
     assert len(result.train_losses) == result.epochs_run
+
+
+def test_mle_custom_optimizer():
+    import optax
+
+    key = jax.random.PRNGKey(0)
+    x = 0.5 * jax.random.normal(key, (1500, 2)) + jnp.array([1.0, -1.0])
+    flow = maf_flow(2, 2, (16,), seed=0)
+    res = train_mle(
+        flow,
+        x,
+        config=MLEConfig(
+            lr=5e-3, max_epochs=250, batch_frac=0.5, patience=40,
+            optimizer=optax.adamw,
+        ),
+    )
+    s = np.asarray(flow.sample(res.params, jax.random.PRNGKey(1), 8000))
+    np.testing.assert_allclose(s.mean(0), [1.0, -1.0], atol=0.15)
