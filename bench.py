@@ -7,9 +7,12 @@ training-set size) through the conditional MAF 16 layers x hidden
 [150,150,150] (examples/papers/2506.05657/hmc_maf_exact.py:101) plus the
 prior reparameterization — i.e. exactly the inner loop of NUTS.
 
-Runs 4 vmapped chains x K leapfrog steps in one jitted scan on one chip.
-The reference publishes no numbers (BASELINE.json "published": {}), so
-vs_baseline is reported as 1.0 by convention.
+Runs 4 chains x K leapfrog steps in one jitted program on one chip.
+Chains execute sequentially (lax.map): at N=190k a single chain already
+saturates the chip and vmap's batched matmuls lower ~1.4x slower in
+aggregate (29.3 vs 20.9 grad-evals/s measured on v5e) — see
+PERFORMANCE.md. The reference publishes no numbers (BASELINE.json
+"published": {}), so vs_baseline is reported as 1.0 by convention.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -55,18 +58,22 @@ def main():
     inv_mass = jnp.ones_like(q0)
     step_size = 1e-5
 
+    im1 = jnp.ones((bf.dim,))
+
     @jax.jit
     def run(q, r, U, grad):
-        def body(s, _):
-            s = jax.vmap(
-                lambda q, r, U, g, im: leapfrog(
-                    pg, LeapfrogState(q, r, U, g), step_size, im
-                )
-            )(s.q, s.r, s.U, s.grad, inv_mass)
-            return s, None
+        def chain_scan(args):
+            q, r, U, g = args
 
-        s, _ = jax.lax.scan(body, LeapfrogState(q, r, U, grad), None, length=n_steps)
-        return s
+            def body(s, _):
+                return leapfrog(pg, s, step_size, im1), None
+
+            s, _ = jax.lax.scan(
+                body, LeapfrogState(q, r, U, g), None, length=n_steps
+            )
+            return s
+
+        return jax.lax.map(chain_scan, (q, r, U, grad))
 
     print("data+init done", flush=True)
     # compile + warm

@@ -73,6 +73,11 @@ def main(argv=None):
     hp.add_argument("--num-chains", type=int, default=4)
     hp.add_argument("--sigma", type=float, default=1.0, help="scale_max")
     hp.add_argument("--prior", default="uniform")
+    hp.add_argument(
+        "--chain-exec", default="map", choices=["map", "vmap"],
+        help="chain execution: sequential 'map' (faster at production "
+        "scale, the default) or batched 'vmap' (faster for small models)",
+    )
     hp.add_argument("--chckpt", default=None, help="checkpoint dir (resumable)")
     hp.add_argument("--out", required=True, help="posterior output (.npz)")
 
@@ -262,6 +267,7 @@ def main(argv=None):
                 num_samples=args.num_samples,
                 num_chains=args.num_chains,
                 seed=args.seed,
+                chain_exec=args.chain_exec,
             ),
             checkpoint_dir=args.chckpt,
         )

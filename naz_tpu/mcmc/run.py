@@ -64,6 +64,13 @@ class MCMCRunConfig:
     da_gamma: float = 0.05
     da_t0: float = 10.0
     da_kappa: float = 0.75
+    # How the chain axis executes inside the program: "vmap" batches all
+    # chains through each (batched) matmul; "map" runs chains sequentially
+    # (lax.map). At reference scale (N=190k through the 16x[150]^3 MAF) one
+    # chain already saturates the chip and vmap's batched matmuls lower
+    # ~1.4x slower in aggregate — use "map" there. For small potentials
+    # (unit tests, toy problems) "vmap" fills the chip and wins.
+    chain_exec: str = "vmap"
 
 
 class ChainState(NamedTuple):
@@ -85,6 +92,15 @@ class WarmupInfo(NamedTuple):
 
 def _nuts_cfg(cfg: MCMCRunConfig) -> NUTSConfig:
     return NUTSConfig(max_depth=cfg.max_depth)
+
+
+def _over_chains(fn, mode: str):
+    """Lift a per-chain function over the leading chain axis."""
+    if mode == "vmap":
+        return jax.vmap(fn)
+    if mode == "map":
+        return lambda *args: lax.map(lambda a: fn(*a), args)
+    raise ValueError(f"chain_exec must be 'vmap' or 'map', got {mode!r}")
 
 
 def _make_step(pg, cfg: MCMCRunConfig):
@@ -138,7 +154,7 @@ def warmup_nuts(
     jitted chunks (adaptation state carried across chunks).
     """
     pg = jax.value_and_grad(potential)
-    step_fn = _make_step(pg, cfg)
+    step_fn = _over_chains(_make_step(pg, cfg), cfg.chain_exec)
     dim = state.q.shape[-1]
     n_chains = state.q.shape[0]
 
@@ -174,7 +190,7 @@ def warmup_nuts(
         k_step, k_next = keys[:, 0], keys[:, 1]
         step_size = jnp.exp(carry["da"].log_step)
 
-        q, U, grad, info = jax.vmap(step_fn)(
+        q, U, grad, info = step_fn(
             carry["q"], carry["U"], carry["grad"], k_step, step_size, carry["inv_mass"]
         )
 
@@ -268,7 +284,7 @@ def sample_nuts(
     """Draw ``num_samples`` per chain (no adaptation), in
     ``cfg.steps_per_program``-sized jitted chunks."""
     pg = jax.value_and_grad(potential)
-    step_fn = _make_step(pg, cfg)
+    step_fn = _over_chains(_make_step(pg, cfg), cfg.chain_exec)
     from functools import partial
 
     @partial(jax.jit, static_argnums=1)
@@ -276,7 +292,7 @@ def sample_nuts(
         def one_step(carry: ChainState, _):
             keys = jax.vmap(jax.random.split)(carry.key)
             k_step, k_next = keys[:, 0], keys[:, 1]
-            q, U, grad, info = jax.vmap(step_fn)(
+            q, U, grad, info = step_fn(
                 carry.q, carry.U, carry.grad, k_step, carry.step_size, carry.inv_mass
             )
             new = ChainState(q, U, grad, k_next, carry.step_size, carry.inv_mass)
