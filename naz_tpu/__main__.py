@@ -63,6 +63,33 @@ def main(argv=None):
     tp.add_argument("--patience", type=int, default=64)
     tp.add_argument("--out", required=True, help="params checkpoint (.npz)")
 
+    ep = sub.add_parser(
+        "train-ensemble",
+        help="aleatoric bootstrap MLE ensemble (train_mle_aleatoric.py)",
+    )
+    _add_flow_args(ep)
+    ep.add_argument("--data", required=True)
+    ep.add_argument("--fthin", type=int, default=10, help="subsample factor per member")
+    ep.add_argument("--members", type=int, default=8)
+    ep.add_argument(
+        "--resample", default="thin", choices=["thin", "bootstrap", "none"]
+    )
+    ep.add_argument(
+        "--vmapped", action="store_true",
+        help="train all members in one vmapped program (small flows)",
+    )
+    ep.add_argument(
+        "--shared-subsample", action="store_true",
+        help="all members see the same subsample (reference behavior: "
+        "only training randomness varies)",
+    )
+    ep.add_argument("--epochs", type=int, default=8192)
+    ep.add_argument("--lr", type=float, default=1e-3)
+    ep.add_argument("--min-lr", type=float, default=1e-9)
+    ep.add_argument("--batch-frac", type=float, default=0.1)
+    ep.add_argument("--patience", type=int, default=64)
+    ep.add_argument("--out", required=True, help="stacked params checkpoint (.npz)")
+
     hp = sub.add_parser("hmc", help="exact Bayesian NUTS over flow weights")
     _add_flow_args(hp)
     hp.add_argument("--data", required=True)
@@ -235,6 +262,46 @@ def main(argv=None):
                 {
                     "val_nll": float(res.val_losses[-1]),
                     "epochs": int(res.epochs_run),
+                    "out": args.out,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "train-ensemble":
+        from naz_tpu.train import EnsembleConfig, MLEConfig, train_mle_ensemble
+
+        # the ensemble owns the fthin subsampling (per member); load in full
+        fthin, args.fthin = args.fthin, 1
+        theta, lam, _ = _load(args)
+        flow = _build_flow(args, theta, lam)
+        res = train_mle_ensemble(
+            flow,
+            theta,
+            context=lam,
+            config=EnsembleConfig(
+                n_members=args.members,
+                fthin=fthin,
+                shared_subsample=args.shared_subsample,
+                resample=args.resample,
+                vmapped=args.vmapped,
+                mle=MLEConfig(
+                    lr=args.lr,
+                    min_lr=args.min_lr,
+                    max_epochs=args.epochs,
+                    batch_frac=args.batch_frac,
+                    patience=args.patience,
+                    dropout=args.dropout > 0,
+                ),
+            ),
+        )
+        save_pytree(args.out, res.params)
+        print(
+            json.dumps(
+                {
+                    "members": args.members,
+                    "val_nll": [float(v) for v in res.val_losses],
+                    "epochs": [int(e) for e in res.epochs_run],
                     "out": args.out,
                 }
             )
