@@ -20,6 +20,15 @@ def _add_flow_args(p):
     p.add_argument("--count-bins", type=int, default=8)
     p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--bounds-low", type=float, nargs="+", default=None,
+        help="lower box bounds per dim (logit-box bounded support, "
+        "e.g. the unsupervised GW170817 fit train_mle_unsupervised.py)",
+    )
+    p.add_argument(
+        "--bounds-high", type=float, nargs="+", default=None,
+        help="upper box bounds per dim",
+    )
 
 
 def _load(args):
@@ -36,6 +45,15 @@ def _load(args):
 def _build_flow(args, theta, lam):
     from naz_tpu.config import FlowSpec
 
+    bounds = None
+    if (args.bounds_low is None) != (args.bounds_high is None):
+        raise SystemExit("--bounds-low and --bounds-high must be given together")
+    if args.bounds_low is not None:
+        if not (len(args.bounds_low) == len(args.bounds_high) == theta.shape[1]):
+            raise SystemExit(
+                f"bounds must have one value per dim (dim={theta.shape[1]})"
+            )
+        bounds = (tuple(args.bounds_low), tuple(args.bounds_high))
     return FlowSpec(
         flow_type=args.flow_type,
         dim=theta.shape[1],
@@ -44,6 +62,7 @@ def _build_flow(args, theta, lam):
         hidden_dims=tuple(args.hidden),
         count_bins=args.count_bins,
         dropout_rate=args.dropout,
+        bounds=bounds,
         seed=args.seed,
     ).build()
 

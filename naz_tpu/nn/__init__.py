@@ -7,6 +7,7 @@ from naz_tpu.nn.embeddings import (
 from naz_tpu.nn.autoencoder import (
     AutoEncoder,
     AutoEncoderConfig,
+    ResAutoEncoder,
     pca_features,
     train_autoencoder,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "ConcatEmbedding",
     "AutoEncoder",
     "AutoEncoderConfig",
+    "ResAutoEncoder",
     "pca_features",
     "train_autoencoder",
 ]

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 
-from naz_tpu.nn.embeddings import MLPEmbedding
+from naz_tpu.nn.embeddings import MLPEmbedding, ResNetEmbedding
 
 
 def pca_features(data, variance: float = 0.99, return_basis: bool = False):
@@ -70,6 +70,25 @@ class AutoEncoder:
 
     def reconstruct(self, params, x):
         return self.decode(params, self.encode(params, x))
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class ResAutoEncoder(AutoEncoder):
+    """Residual-block encoder/decoder (reference ``ResAutoEncoder``,
+    ``autoencoder.py:97-117``): same protocol as :class:`AutoEncoder` but
+    both halves are ``ResNetEmbedding`` stacks. ``hidden_dims`` is read as
+    ``(width,) * n_blocks`` for symmetry with the MLP variant."""
+
+    def _nets(self):
+        width = self.hidden_dims[0]
+        n_blocks = len(self.hidden_dims)
+        enc = ResNetEmbedding(
+            self.in_dim, self.latent_dim, width, n_blocks, self.activation
+        )
+        dec = ResNetEmbedding(
+            self.latent_dim, self.in_dim, width, n_blocks, self.activation
+        )
+        return enc, dec
 
 
 def normalized_covariance_loss(latent, physical):

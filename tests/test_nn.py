@@ -7,6 +7,7 @@ from naz_tpu.nn import (
     AutoEncoderConfig,
     ConcatEmbedding,
     MLPEmbedding,
+    ResAutoEncoder,
     ResNetEmbedding,
     SVDInitEmbedding,
     pca_features,
@@ -69,6 +70,23 @@ def test_autoencoder_trains():
     mse = float(jnp.mean((rec - jnp.asarray(data[:200], jnp.float32)) ** 2))
     assert mse < 0.05, mse
     assert res.losses[-1] < res.losses[0]
+
+
+def test_res_autoencoder_trains():
+    """Residual variant (reference ``ResAutoEncoder``, autoencoder.py:97-117)
+    learns the same planted 2-D subspace through the shared trainer."""
+    rng = np.random.default_rng(3)
+    basis = np.linalg.qr(rng.normal(size=(8, 2)))[0].T
+    data = rng.normal(size=(2000, 2)) @ basis + 0.01 * rng.normal(size=(2000, 8))
+    ae = ResAutoEncoder(8, 2, (32, 32))  # width 32, 2 residual blocks
+    res = train_autoencoder(
+        ae, data, config=AutoEncoderConfig(lr=3e-3, max_epochs=300, batch_frac=0.25)
+    )
+    x = jnp.asarray(data[:200], jnp.float32)
+    mse = float(jnp.mean((ae.reconstruct(res.params, x) - x) ** 2))
+    assert mse < 0.05, mse
+    z = ae.encode(res.params, x)
+    assert z.shape == (200, 2)
 
 
 def test_flow_with_embedding_end_to_end():

@@ -110,6 +110,43 @@ def test_cli_full_pipeline(tmp_path):
     assert np.isfinite(bic["bic"]) and bic["n_data"] == 600
 
 
+def test_cli_unconditional_bounded(tmp_path):
+    """Unconditional flow on box-bounded samples via --bounds-low/high —
+    the reference's train_mle_unsupervised.py workload (GW170817 q, Lambda-t
+    posterior samples in a logit box)."""
+    from naz_tpu.data import save_training_h5
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(1)
+    theta = rng.beta(4, 4, size=(800, 2)).astype(np.float32)  # in (0, 1)^2
+    h5 = tmp_path / "uncond.h5"
+    save_training_h5(h5, theta)
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo}
+    out = tmp_path / "mle.npz"
+    r = subprocess.run(
+        [sys.executable, "-m", "naz_tpu", "train-mle",
+         "--flow-type", "maf", "--layers", "2", "--hidden", "8",
+         "--bounds-low", "0", "0", "--bounds-high", "1", "1",
+         "--data", str(h5), "--epochs", "40", "--batch-frac", "0.5",
+         "--lr", "5e-3", "--out", str(out)],
+        capture_output=True, text=True, cwd=repo, timeout=900, env=env,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert out.exists()
+
+    # mismatched bounds must fail fast with a clear message
+    r = subprocess.run(
+        [sys.executable, "-m", "naz_tpu", "train-mle",
+         "--flow-type", "maf", "--layers", "2", "--hidden", "8",
+         "--bounds-low", "0",
+         "--data", str(h5), "--epochs", "1", "--out", str(out)],
+        capture_output=True, text=True, cwd=repo, timeout=900, env=env,
+    )
+    assert r.returncode != 0
+    assert "bounds" in (r.stderr + r.stdout)
+
+
 def test_multihost_initialize_single_process():
     from naz_tpu.parallel.distributed import initialize_multihost
 
