@@ -99,6 +99,27 @@ def build_grid_training_set(
     )
 
 
+def select_bbh_mergers(
+    s1_state: np.ndarray,
+    s2_state: np.ndarray,
+    event: np.ndarray,
+    co_state: str = "BH",
+    merger_event: str = "CO_contact",
+) -> np.ndarray:
+    """Indices of binaries that merged as BH+BH.
+
+    Array-level form of the selection mask in the reference's transient
+    pipeline (``examples/papers/eposydon/transient.py:21-28``: rows with
+    ``S1_state == 'BH' & S2_state == 'BH' & event == 'CO_contact'``),
+    applicable to any population table's string columns.
+    """
+    s1 = np.asarray(s1_state)
+    s2 = np.asarray(s2_state)
+    ev = np.asarray(event)
+    mask = (s1 == co_state) & (s2 == co_state) & (ev == merger_event)
+    return np.flatnonzero(mask)
+
+
 def load_posydon_population(path: str, **kwargs):
     """Load a POSYDON TransientPopulation and extract BBH parameters.
 

@@ -3,8 +3,20 @@ import numpy as np
 from naz_tpu.data.populations import (
     build_grid_training_set,
     extract_bbh_parameters,
+    select_bbh_mergers,
     weighted_population_draws,
 )
+
+
+def test_select_bbh_mergers_mask():
+    s1 = np.array(["BH", "NS", "BH", "BH"])
+    s2 = np.array(["BH", "BH", "NS", "BH"])
+    ev = np.array(["CO_contact", "CO_contact", "CO_contact", "detached"])
+    idx = select_bbh_mergers(s1, s2, ev)
+    assert idx.tolist() == [0]
+    # custom states pass through
+    idx = select_bbh_mergers(s1, s2, ev, co_state="NS", merger_event="CO_contact")
+    assert idx.tolist() == []
 
 
 def test_extract_bbh_parameters_swaps_and_clips():
