@@ -19,6 +19,10 @@ def maf_flow(
     invert: bool = False,
     dropout_rate: float = 0.0,
     norm: str = "none",
+    use_pallas: bool = False,
+    pallas_tile: int = 2048,
+    pallas_bf16: bool = True,
+    remat: bool = True,
 ) -> Flow:
     """Convenience factory mirroring the reference's ``flow_type="maf"``
     (``/root/reference/src/naz/flows/flow.py:21-42``): a Flow with a single
@@ -38,6 +42,10 @@ def maf_flow(
             seed=seed,
             invert=invert,
             dropout_rate=dropout_rate,
+            use_pallas=use_pallas,
+            pallas_tile=pallas_tile,
+            pallas_bf16=pallas_bf16,
+            remat=remat,
         )
         return Flow(dim=dim, transforms=(t,), bounds=bounds, embedding=embedding)
     if norm not in ("actnorm", "batchnorm"):

@@ -204,30 +204,29 @@ class MaskedAutoregressiveFlow:
         return z, ld
 
     def _one_pass_pallas(self, params, x, context):
-        from naz_tpu.ops.pallas import fused_made_affine_layer
+        """Whole-stack fused kernel: every layer's conditioner + affine update
+        for a VMEM-resident batch tile in ONE ``pallas_call`` (see
+        ``naz_tpu/ops/pallas/made_stack.py`` for the bandwidth argument)."""
+        from naz_tpu.ops.pallas import fused_made_stack
 
         interpret = jax.default_backend() == "cpu"
         lo, hi = self.log_scale_clip
         batch_shape = x.shape[:-1]
         x2 = x.reshape(-1, self.dim)
-        ctx2 = context.reshape(-1, context.shape[-1]) if context is not None else None
-
-        def body(carry, xs):
-            x, ld = carry
-            layer_params, layer_masks = xs
-            ws = tuple(p["w"] * m for p, m in zip(layer_params, layer_masks))
-            bs = tuple(p["b"] for p in layer_params)
-            x_full = (
-                jnp.concatenate([ctx2, x], axis=-1) if ctx2 is not None else x
-            )
-            z, d = fused_made_affine_layer(
-                x_full, ws, bs, self.dim, lo, hi, self.pallas_tile, interpret,
-                self.pallas_bf16,
-            )
-            return (z, ld + d), None
-
-        init = (x2, jnp.zeros(x2.shape[:-1], dtype=x.dtype))
-        (z, ld), _ = lax.scan(body, init, (params, self.masks))
+        ctx2 = (
+            context.reshape(-1, context.shape[-1])
+            if context is not None
+            else jnp.zeros(x2.shape[:-1] + (0,), x2.dtype)
+        )
+        # pre-masked, in-major weights; biases as (L, 1, out) rows
+        ws = tuple(
+            jnp.transpose(p["w"] * m, (0, 2, 1)) for p, m in zip(params, self.masks)
+        )
+        bs = tuple(p["b"][:, None, :] for p in params)
+        z, ld = fused_made_stack(
+            x2, ctx2, ws, bs, self.dim, lo, hi, self.pallas_tile, interpret,
+            self.pallas_bf16,
+        )
         return z.reshape(batch_shape + (self.dim,)), ld.reshape(batch_shape)
 
     def _sequential(self, params, z, context, dropout_key=None):
