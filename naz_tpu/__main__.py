@@ -21,6 +21,12 @@ def _add_flow_args(p):
     p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
+        "--compute-dtype", default=None, choices=[None, "float32", "bfloat16"],
+        help="MAF conditioner matmul dtype; bfloat16 halves hot-path HBM "
+        "bytes (~1.9x at production scale). With --kernel chees the accept "
+        "energies stay f32 (mixed precision), so the posterior is exact.",
+    )
+    p.add_argument(
         "--bounds-low", type=float, nargs="+", default=None,
         help="lower box bounds per dim (logit-box bounded support, "
         "e.g. the unsupervised GW170817 fit train_mle_unsupervised.py)",
@@ -54,6 +60,7 @@ def _build_flow(args, theta, lam):
                 f"bounds must have one value per dim (dim={theta.shape[1]})"
             )
         bounds = (tuple(args.bounds_low), tuple(args.bounds_high))
+    cd = getattr(args, "compute_dtype", None)
     return FlowSpec(
         flow_type=args.flow_type,
         dim=theta.shape[1],
@@ -64,6 +71,7 @@ def _build_flow(args, theta, lam):
         dropout_rate=args.dropout,
         bounds=bounds,
         seed=args.seed,
+        compute_dtype=None if cd in (None, "float32") else cd,
     ).build()
 
 
@@ -125,6 +133,12 @@ def main(argv=None):
         "scale, the default) or batched 'vmap' (faster for small models)",
     )
     hp.add_argument("--chckpt", default=None, help="checkpoint dir (resumable)")
+    hp.add_argument(
+        "--kernel", default="nuts", choices=["nuts", "hmc", "chees"],
+        help="transition kernel: NUTS (default), fixed-length HMC, or "
+        "ChEES-HMC (cross-chain adaptive trajectories; best with many "
+        "vmapped chains; no checkpoint support yet)",
+    )
     hp.add_argument("--out", required=True, help="posterior output (.npz)")
 
     sp = sub.add_parser("svi", help="variational posterior + IS evidence")
@@ -343,20 +357,56 @@ def main(argv=None):
     print(f"model complexity: {bf.complexity}")
 
     if args.cmd == "hmc":
-        from naz_tpu.bayes import fit_nuts
-        from naz_tpu.mcmc.run import MCMCRunConfig
+        if args.kernel == "chees":
+            import copy
 
-        post = fit_nuts(
-            bf,
-            MCMCRunConfig(
-                num_warmup=args.num_warmup,
-                num_samples=args.num_samples,
-                num_chains=args.num_chains,
-                seed=args.seed,
-                chain_exec=args.chain_exec,
-            ),
-            checkpoint_dir=args.chckpt,
-        )
+            from naz_tpu.bayes import fit_chees
+            from naz_tpu.mcmc.chees import ChEESConfig
+
+            if args.chckpt:
+                raise SystemExit("--chckpt is not supported with --kernel chees")
+            fast_potential = None
+            if getattr(args, "compute_dtype", None) == "bfloat16":
+                # mixed precision: the bf16 flow drives leapfrog gradients;
+                # accept energies come from an exact f32 twin, so the
+                # posterior is exactly the f32 one
+                fast_potential = bf.potential
+                a32 = copy.copy(args)
+                a32.compute_dtype = None
+                flow32 = _build_flow(a32, theta, lam)
+                bf = BayesianFlow(
+                    make_flow_loglik(flow32, theta, lam),
+                    mle_params,
+                    scale_max=args.sigma,
+                    prior=getattr(args, "prior", "uniform"),
+                )
+            post = fit_chees(
+                bf,
+                ChEESConfig(
+                    num_warmup=args.num_warmup,
+                    num_samples=args.num_samples,
+                    num_chains=args.num_chains,
+                    seed=args.seed,
+                    chain_exec=args.chain_exec,
+                ),
+                fast_potential=fast_potential,
+            )
+        else:
+            from naz_tpu.bayes import fit_nuts
+            from naz_tpu.mcmc.run import MCMCRunConfig
+
+            post = fit_nuts(
+                bf,
+                MCMCRunConfig(
+                    num_warmup=args.num_warmup,
+                    num_samples=args.num_samples,
+                    num_chains=args.num_chains,
+                    seed=args.seed,
+                    chain_exec=args.chain_exec,
+                    kernel=args.kernel,
+                ),
+                checkpoint_dir=args.chckpt,
+            )
         np.savez(
             args.out,
             params_flat=np.asarray(post["params_flat"]),

@@ -40,6 +40,10 @@ class FlowSpec:
     bounds: Optional[Tuple[Sequence[float], Sequence[float]]] = None
     dropout_rate: float = 0.0
     seed: int = 0
+    # conditioner matmul-operand dtype for MAF ("bfloat16" halves the HBM
+    # bytes of the hot path — ~1.9x measured at production scale,
+    # PERFORMANCE.md); None = f32
+    compute_dtype: Optional[str] = None
 
     def build(self, embedding=None) -> Flow:
         import jax.numpy as jnp
@@ -59,6 +63,7 @@ class FlowSpec:
                 self.n_layers,
                 self.hidden_dims,
                 dropout_rate=self.dropout_rate,
+                compute_dtype=self.compute_dtype,
                 **common,
             )
         if self.flow_type == "nsa":

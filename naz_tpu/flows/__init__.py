@@ -22,6 +22,7 @@ def maf_flow(
     use_pallas: bool = False,
     pallas_tile: int = 2048,
     pallas_bf16: bool = True,
+    compute_dtype=None,
     remat: bool = True,
 ) -> Flow:
     """Convenience factory mirroring the reference's ``flow_type="maf"``
@@ -45,6 +46,7 @@ def maf_flow(
             use_pallas=use_pallas,
             pallas_tile=pallas_tile,
             pallas_bf16=pallas_bf16,
+            compute_dtype=compute_dtype,
             remat=remat,
         )
         return Flow(dim=dim, transforms=(t,), bounds=bounds, embedding=embedding)

@@ -59,6 +59,16 @@ class MaskedAutoregressiveFlow:
     # bf16 MXU passes inside the Pallas kernel (XLA-default precision);
     # set False for bitwise parity with the f32 jnp path
     pallas_bf16: bool = True
+    # Matmul-operand dtype for the conditioner chain (None = f32). bf16
+    # halves the HBM bytes of the (batch, hidden) activations — the hot
+    # path is bandwidth-bound at production scale, so this is ~3x measured
+    # (PERFORMANCE.md) — while biases, the affine update, and the log-det
+    # stay f32. The density becomes a deterministic bf16-rounded
+    # approximation: fine for MLE training and for MCMC *gradients*
+    # (leapfrog with any deterministic field is volume-preserving and
+    # reversible; use the f32 potential for accept energies — see
+    # naz_tpu.mcmc.chees mixed-precision support).
+    compute_dtype: Optional[str] = None
     # Rematerialize per-layer activations in the backward pass: the scan
     # body is wrapped in jax.checkpoint, so backward recomputes each
     # layer's conditioner instead of storing (n_layers, batch, hidden)
@@ -85,6 +95,7 @@ class MaskedAutoregressiveFlow:
         use_pallas: bool = False,
         pallas_tile: int = 1024,
         pallas_bf16: bool = True,
+        compute_dtype: Optional[str] = None,
         remat: bool = True,
     ) -> "MaskedAutoregressiveFlow":
         if permutations is None:
@@ -112,6 +123,7 @@ class MaskedAutoregressiveFlow:
             use_pallas=use_pallas,
             pallas_tile=pallas_tile,
             pallas_bf16=pallas_bf16,
+            compute_dtype=compute_dtype,
             remat=remat,
         )
 
@@ -154,6 +166,9 @@ class MaskedAutoregressiveFlow:
             n_params=self.n_param_blocks,
             dropout_rate=self.dropout_rate,
             dropout_key=dropout_key,
+            compute_dtype=jnp.dtype(self.compute_dtype)
+            if self.compute_dtype is not None
+            else None,
         )
 
     def _elem_fwd(self, x, blocks):
@@ -187,6 +202,7 @@ class MaskedAutoregressiveFlow:
             self.use_pallas
             and dropout_key is None
             and self.activation is jnp.tanh
+            and self.compute_dtype is None
             and type(self) is MaskedAutoregressiveFlow
         ):
             return self._one_pass_pallas(params, x, context)

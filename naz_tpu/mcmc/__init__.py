@@ -1,6 +1,7 @@
 from naz_tpu.mcmc.hmc import HMCConfig, hmc_step, leapfrog
 from naz_tpu.mcmc.nuts import NUTSConfig, nuts_step
 from naz_tpu.mcmc.run import MCMCRunConfig, run_nuts, warmup_nuts
+from naz_tpu.mcmc.chees import ChEESConfig, run_chees, chees_step, halton
 from naz_tpu.mcmc.diagnostics import split_rhat, effective_sample_size
 
 __all__ = [
@@ -12,6 +13,10 @@ __all__ = [
     "MCMCRunConfig",
     "run_nuts",
     "warmup_nuts",
+    "ChEESConfig",
+    "run_chees",
+    "chees_step",
+    "halton",
     "split_rhat",
     "effective_sample_size",
 ]

@@ -1,0 +1,468 @@
+"""ChEES-HMC: cross-chain adaptive HMC (Hoffman, Radul & Sountsov, AISTATS
+2021 — "An Adaptive MCMC Scheme for Setting Trajectory Lengths in
+Hamiltonian Monte Carlo").
+
+Why this kernel exists here (TPU-first rationale): NUTS builds a
+data-dependent trajectory *per chain* — under ``vmap`` every chain pays the
+deepest chain's tree, half the gradient evaluations land in rejected
+subtrees, and the tree bookkeeping is control flow the MXU can't help
+with. ChEES-HMC replaces the tree with a *learned* trajectory length: all
+chains run plain jittered HMC in lockstep (one shared leapfrog count per
+iteration — a perfectly static program), and the trajectory length is
+adapted by maximizing the Change-in-Estimator-of-Expected-Square (ChEES)
+criterion with a cross-chain gradient estimate. The cross-chain reductions
+(means over the chain axis) are exactly the cheap collectives a TPU mesh
+gives us (``psum`` when the chain axis is sharded — ``naz_tpu.parallel``).
+
+The reference has no counterpart (it delegates to numpyro NUTS,
+``/root/reference/src/naz/flows/bflow_jax_maf.py:321-324``); this kernel is
+an addition on the BASELINE.md north-star metric (effective samples/s).
+
+Algorithm (paper Alg. 2, adapted to a diagonal metric):
+
+* iteration t draws one Halton-sequence jitter ``h_t ∈ (0,1]`` shared by
+  all chains; every chain integrates ``L = ceil(h_t * T / eps)`` leapfrog
+  steps (same L for all chains — lockstep);
+* step size ``eps`` adapts by dual averaging on the cross-chain mean
+  acceptance toward 0.651 (the optimal rate for jittered HMC);
+* trajectory length ``T`` adapts by Adam ascent on the per-iteration
+  ChEES gradient estimate: with ``x = q - mean_c(q)``,
+  ``x' = q' - mean_c(q')`` (means over chains, proposals ``q'``),
+  ``v' = M^{-1} r'`` the final velocity,
+  ``g_c = (|x'|^2 - |x|^2) * <x', v'>`` per chain, combined as the
+  acceptance-weighted mean times the jitter ``h_t``;
+* the diagonal mass matrix adapts from a *cross-chain* Welford estimate
+  (every chain feeds one accumulator — C samples per iteration instead of
+  one), on the Stan windowed schedule shared with the NUTS warmup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from naz_tpu.mcmc.adapt import (
+    build_warmup_schedule,
+    da_init,
+    da_update,
+    welford_init,
+    welford_update,
+    welford_variance,
+)
+from naz_tpu.mcmc.hmc import LeapfrogState, kinetic, leapfrog, find_reasonable_step_size
+
+
+def halton(index: jnp.ndarray, base: int = 2, n_bits: int = 31) -> jnp.ndarray:
+    """Radical-inverse (Halton) low-discrepancy sequence member in (0, 1).
+
+    ``index`` is a non-negative integer array; base 2 is a bit reversal.
+    The paper jitters trajectory lengths with a Halton sequence rather than
+    iid uniforms so consecutive trajectory lengths stratify (0,1] evenly.
+    """
+    i = index.astype(jnp.uint32) + 1  # skip h(0) = 0
+
+    def body(k, carry):
+        f, i, inv = carry
+        digit = i % base
+        f = f + digit.astype(jnp.float32) * inv
+        return f, i // base, inv / base
+
+    f, _, _ = lax.fori_loop(
+        0, n_bits, body, (jnp.float32(0.0), i, jnp.float32(1.0 / base))
+    )
+    return f
+
+
+class AdamState(NamedTuple):
+    m: jnp.ndarray
+    v: jnp.ndarray
+    t: jnp.ndarray
+
+
+def _adam_init() -> AdamState:
+    z = jnp.zeros(())
+    return AdamState(z, z, z)
+
+
+def _adam_update(s: AdamState, grad, lr, b1=0.9, b2=0.999, eps=1e-8):
+    t = s.t + 1.0
+    m = b1 * s.m + (1 - b1) * grad
+    v = b2 * s.v + (1 - b2) * grad * grad
+    mhat = m / (1 - b1**t)
+    vhat = v / (1 - b2**t)
+    return AdamState(m, v, t), lr * mhat / (jnp.sqrt(vhat) + eps)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChEESConfig:
+    num_warmup: int = 500
+    num_samples: int = 500
+    num_chains: int = 16
+    target_accept: float = 0.651  # optimal acceptance for jittered HMC
+    adam_lr: float = 0.025  # Adam step on log T (paper's default)
+    max_leapfrogs: int = 1024  # hard cap on steps per trajectory
+    init_step_size: float = 0.1
+    init_traj_len: float = 1.0  # initial mean trajectory length T
+    adapt_mass: bool = True
+    seed: int = 0
+    steps_per_program: int = 50
+    # chain execution inside the program: "vmap" (lockstep batched — the
+    # natural ChEES layout) or "map" (sequential; only when one chain
+    # saturates the chip)
+    chain_exec: str = "vmap"
+    verbose: bool = False
+
+
+class ChEESState(NamedTuple):
+    """Sampler + adaptation state. Chains lead q/U/grad/key; the step size,
+    trajectory length, and mass are shared across chains (cross-chain
+    adaptation is the point of the scheme)."""
+
+    q: jnp.ndarray  # (C, dim)
+    U: jnp.ndarray  # (C,)
+    grad: jnp.ndarray  # (C, dim)
+    key: jnp.ndarray  # (C, 2) per-chain keys
+    step_size: jnp.ndarray  # scalar
+    traj_len: jnp.ndarray  # scalar T
+    inv_mass: jnp.ndarray  # (dim,)
+    iteration: jnp.ndarray  # scalar int32 (drives the Halton sequence)
+
+
+class ChEESInfo(NamedTuple):
+    accept_prob: jnp.ndarray  # (C,)
+    num_leapfrogs: jnp.ndarray  # scalar — shared by all chains
+    diverging: jnp.ndarray  # (C,)
+
+
+def chees_init(
+    potential: Callable,
+    q0: jnp.ndarray,
+    cfg: ChEESConfig,
+    fast_potential: Callable = None,
+) -> ChEESState:
+    U = jax.vmap(potential)(q0)  # exact energies
+    grad = jax.vmap(jax.grad(fast_potential or potential))(q0)
+    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), q0.shape[0])
+    return ChEESState(
+        q=q0,
+        U=U,
+        grad=grad,
+        key=keys,
+        step_size=jnp.asarray(cfg.init_step_size, q0.dtype),
+        traj_len=jnp.asarray(cfg.init_traj_len, q0.dtype),
+        inv_mass=jnp.ones((q0.shape[-1],), q0.dtype),
+        iteration=jnp.zeros((), jnp.int32),
+    )
+
+
+def _trajectories(pg, state: ChEESState, cfg: ChEESConfig):
+    """Run one jittered-HMC iteration for all chains in lockstep.
+
+    Returns (proposal LeapfrogState batched over chains, H0 (C,), new keys,
+    L, h). ``H0`` uses ``state.U`` — the *exact* potential when running
+    mixed precision (gradients from a fast approximate potential are fine:
+    leapfrog with any deterministic field stays volume-preserving and
+    reversible, so exact endpoint energies keep the stationary
+    distribution exact)."""
+    h = halton(state.iteration)
+    # shared leapfrog count; ceil so L >= 1
+    L = jnp.ceil(h * state.traj_len / state.step_size).astype(jnp.int32)
+    L = jnp.clip(L, 1, cfg.max_leapfrogs)
+
+    keys = jax.vmap(jax.random.split)(state.key)
+    k_mom, k_next = keys[:, 0], keys[:, 1]
+    r0 = jax.vmap(
+        lambda k, q: jax.random.normal(k, q.shape) / jnp.sqrt(state.inv_mass)
+    )(k_mom, state.q)
+    H0 = state.U + kinetic(r0, state.inv_mass[None, :])
+
+    if cfg.chain_exec == "vmap":
+        step_all = jax.vmap(
+            lambda s: leapfrog(pg, s, state.step_size, state.inv_mass)
+        )
+    elif cfg.chain_exec == "map":
+        step_all = lambda s: lax.map(
+            lambda si: leapfrog(pg, si, state.step_size, state.inv_mass), s
+        )
+    else:
+        raise ValueError(f"chain_exec must be 'vmap' or 'map', got {cfg.chain_exec!r}")
+
+    def body(_, s):
+        return step_all(s)
+
+    s0 = LeapfrogState(state.q, r0, state.U, state.grad)
+    s1 = lax.fori_loop(0, L, body, s0)
+    return s1, H0, k_next, L, h
+
+
+def _accept(s1: LeapfrogState, H0, state: ChEESState, exact_U=None):
+    """Metropolis accept with (optionally exact) endpoint energies.
+
+    Returns (q, U, grad, accept_prob, diverging, U1)."""
+    U1 = exact_U(s1.q) if exact_U is not None else s1.U
+    H1 = U1 + kinetic(s1.r, state.inv_mass[None, :])
+    delta = jnp.where(jnp.isnan(H1 - H0), jnp.inf, H1 - H0)
+    accept_prob = jnp.exp(jnp.minimum(0.0, -delta))
+    diverging = delta > 1000.0
+    return accept_prob, diverging, U1
+
+
+def _chees_grad(q, proposal: LeapfrogState, accept_prob, inv_mass, h):
+    """Acceptance-weighted ChEES gradient estimate wrt T (paper eq. 14)."""
+    x = q - jnp.mean(q, axis=0)
+    xp = proposal.q - jnp.mean(proposal.q, axis=0)
+    vp = proposal.r * inv_mass[None, :]  # final velocity dq/dt
+    delta_sq = jnp.sum(xp * xp, axis=-1) - jnp.sum(x * x, axis=-1)
+    per_chain = delta_sq * jnp.sum(xp * vp, axis=-1)
+    w = accept_prob / jnp.maximum(jnp.sum(accept_prob), 1e-12)
+    return h * jnp.sum(w * per_chain)
+
+
+def chees_step(
+    pg: Callable, state: ChEESState, cfg: ChEESConfig, exact_U=None
+) -> tuple[ChEESState, ChEESInfo]:
+    """One (non-adapting) ChEES-HMC transition for all chains.
+
+    ``exact_U``: optional batched exact potential for endpoint energies
+    (mixed precision: ``pg`` from a fast approximate potential)."""
+    s1, H0, k_next, L, h = _trajectories(pg, state, cfg)
+    accept_prob, diverging, U1 = _accept(s1, H0, state, exact_U)
+    k_acc = jax.vmap(lambda k: jax.random.fold_in(k, 1))(k_next)
+    u = jax.vmap(lambda k: jax.random.uniform(k, ()))(k_acc)
+    accept = u < accept_prob
+    q = jnp.where(accept[:, None], s1.q, state.q)
+    U = jnp.where(accept, U1, state.U)
+    grad = jnp.where(accept[:, None], s1.grad, state.grad)
+    new_state = state._replace(
+        q=q, U=U, grad=grad, key=k_next, iteration=state.iteration + 1
+    )
+    return new_state, ChEESInfo(accept_prob, L, diverging)
+
+
+class _WarmupCarry(NamedTuple):
+    state: ChEESState
+    da: object
+    adam: AdamState
+    log_T: jnp.ndarray
+    wf: object
+    n_evals: jnp.ndarray
+
+
+def _exact_and_fast(potential, fast_potential, chain_exec):
+    """(pg for leapfrog, batched exact-U fn or None)."""
+    pg = jax.value_and_grad(fast_potential or potential)
+    if fast_potential is None:
+        return pg, None
+    if chain_exec == "map":
+        return pg, lambda q: lax.map(potential, q)
+    return pg, jax.vmap(potential)
+
+
+def chees_warmup(
+    potential: Callable,
+    state: ChEESState,
+    cfg: ChEESConfig,
+    fast_potential: Callable = None,
+) -> tuple[ChEESState, dict]:
+    """Adapt eps (dual averaging), T (Adam on ChEES), mass (cross-chain
+    Welford on the Stan windowed schedule). Chunked like the NUTS driver.
+
+    ``fast_potential``: optional cheap approximation (e.g. the
+    ``compute_dtype='bfloat16'`` flow) used for leapfrog *gradients*;
+    accept energies always come from ``potential``."""
+    pg, exact_U = _exact_and_fast(potential, fast_potential, cfg.chain_exec)
+    dim = state.q.shape[-1]
+    is_slow_np, wend_np = build_warmup_schedule(cfg.num_warmup)
+
+    @jax.jit
+    def _init(state: ChEESState):
+        # probe a reasonable step size from chain 0
+        k = state.key[0]
+        step0 = find_reasonable_step_size(
+            pg, state.q[0], k, state.inv_mass, init_step=cfg.init_step_size
+        )
+        state = state._replace(step_size=step0)
+        return _WarmupCarry(
+            state=state,
+            da=da_init(step0),
+            adam=_adam_init(),
+            log_T=jnp.log(jnp.asarray(cfg.init_traj_len)),
+            wf=welford_init(dim),
+            n_evals=jnp.zeros((), jnp.int32),
+        )
+
+    def one_step(carry: _WarmupCarry, xs):
+        slow, wend = xs
+        state = carry.state._replace(
+            step_size=jnp.exp(carry.da.log_step),
+            traj_len=jnp.exp(carry.log_T),
+        )
+        s1, H0, k_next, L, h = _trajectories(pg, state, cfg)
+        accept_prob, _div, U1 = _accept(s1, H0, state, exact_U)
+        k_acc = jax.vmap(lambda k: jax.random.fold_in(k, 1))(k_next)
+        u = jax.vmap(lambda k: jax.random.uniform(k, ()))(k_acc)
+        accept = u < accept_prob
+        q = jnp.where(accept[:, None], s1.q, state.q)
+        U = jnp.where(accept, U1, state.U)
+        grad = jnp.where(accept[:, None], s1.grad, state.grad)
+
+        # step size: DA on cross-chain mean acceptance
+        da = da_update(carry.da, jnp.mean(accept_prob), target=cfg.target_accept)
+
+        # trajectory length: Adam ascent on the ChEES gradient
+        g = _chees_grad(state.q, s1, accept_prob, state.inv_mass, h)
+        adam, delta = _adam_update(carry.adam, -g, cfg.adam_lr)  # minimize -ChEES
+        log_T = carry.log_T - delta
+        # keep T sane: at least one step, at most max_leapfrogs steps
+        log_T = jnp.clip(
+            log_T,
+            jnp.log(state.step_size),
+            jnp.log(cfg.max_leapfrogs * state.step_size),
+        )
+
+        # mass: every chain feeds the shared Welford accumulator
+        def feed(wf):
+            return lax.fori_loop(
+                0, q.shape[0], lambda c, w: welford_update(w, q[c]), wf
+            )
+
+        wf = jax.tree.map(
+            lambda a, b: jnp.where(slow, a, b), feed(carry.wf), carry.wf
+        )
+
+        # window close: adopt variance, restart DA and Welford
+        def close(args):
+            da, wf = args
+            inv_mass = welford_variance(wf)
+            return da_init(jnp.exp(da.log_step)), welford_init(dim), inv_mass
+
+        def keep(args):
+            da, wf = args
+            return da, wf, state.inv_mass
+
+        da, wf, inv_mass = lax.cond(
+            wend if cfg.adapt_mass else jnp.asarray(False), close, keep, (da, wf)
+        )
+
+        new_state = ChEESState(
+            q=q,
+            U=U,
+            grad=grad,
+            key=k_next,
+            step_size=jnp.exp(da.log_step),
+            traj_len=jnp.exp(log_T),
+            inv_mass=inv_mass,
+            iteration=state.iteration + 1,
+        )
+        out = _WarmupCarry(new_state, da, adam, log_T, wf, carry.n_evals + L)
+        return out, jnp.mean(accept_prob)
+
+    @jax.jit
+    def _chunk(carry, flags):
+        return lax.scan(one_step, carry, flags)
+
+    carry = _init(state)
+    accepts = []
+    spp = max(1, cfg.steps_per_program)
+    for lo in range(0, cfg.num_warmup, spp):
+        hi = min(lo + spp, cfg.num_warmup)
+        flags = (
+            jnp.asarray(is_slow_np[lo:hi]),
+            jnp.asarray(wend_np[lo:hi]),
+        )
+        carry, acc = _chunk(carry, flags)
+        accepts.append(np.asarray(acc))
+        if cfg.verbose:
+            print(
+                f"chees warmup {hi}/{cfg.num_warmup}: eps="
+                f"{float(jnp.exp(carry.da.log_step_avg)):.3g} "
+                f"T={float(jnp.exp(carry.log_T)):.3g} "
+                f"accept={float(acc.mean()):.2f}"
+            )
+
+    final = carry.state._replace(
+        step_size=jnp.exp(carry.da.log_step_avg),
+        traj_len=jnp.exp(carry.log_T),
+    )
+    info = {
+        "accept_prob": np.concatenate(accepts) if accepts else np.zeros(0),
+        "step_size": float(final.step_size),
+        "traj_len": float(final.traj_len),
+        "num_grad_evals": int(carry.n_evals) * state.q.shape[0],
+    }
+    return final, info
+
+
+def chees_sample(
+    potential: Callable,
+    state: ChEESState,
+    cfg: ChEESConfig,
+    fast_potential: Callable = None,
+) -> tuple[ChEESState, jnp.ndarray, dict]:
+    """Draw ``cfg.num_samples`` per chain; returns (state, samples
+    (draws, chains, dim), info)."""
+    pg, exact_U = _exact_and_fast(potential, fast_potential, cfg.chain_exec)
+
+    def one(carry, _):
+        new_state, info = chees_step(pg, carry, cfg, exact_U)
+        return new_state, (new_state.q, info.accept_prob, info.num_leapfrogs)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def _chunk(state, n):
+        return lax.scan(one, state, None, length=n)
+
+    qs, accs, Ls = [], [], []
+    spp = max(1, cfg.steps_per_program)
+    done = 0
+    while done < cfg.num_samples:
+        n = min(spp, cfg.num_samples - done)
+        state, (q, a, L) = _chunk(state, n)
+        qs.append(np.asarray(q))
+        accs.append(np.asarray(a))
+        Ls.append(np.asarray(L))
+        done += n
+        if cfg.verbose:
+            print(f"chees sampling {done}/{cfg.num_samples}")
+
+    samples = np.concatenate(qs) if qs else np.zeros((0,) + state.q.shape)
+    info = {
+        "accept_prob": np.concatenate(accs) if accs else np.zeros(0),
+        "num_leapfrogs": np.concatenate(Ls) if Ls else np.zeros(0, np.int32),
+        "num_grad_evals": int(np.sum(np.concatenate(Ls))) * state.q.shape[0]
+        if Ls
+        else 0,
+    }
+    return state, jnp.asarray(samples), info
+
+
+def run_chees(
+    potential: Callable,
+    q0: jnp.ndarray,
+    cfg: ChEESConfig = ChEESConfig(),
+    fast_potential: Callable = None,
+) -> dict:
+    """Warmup + sample. ``q0``: (chains, dim). Returns a dict with
+    ``samples`` (draws, chains, dim) and adaptation/throughput info.
+
+    Mixed precision: pass the f32 potential as ``potential`` and a cheap
+    deterministic approximation (bf16-compute flow) as ``fast_potential``
+    — leapfrog gradients run fast, accept energies stay exact, and the
+    stationary distribution is exactly ``exp(-potential)``."""
+    state = chees_init(potential, q0, cfg, fast_potential)
+    state, winfo = chees_warmup(potential, state, cfg, fast_potential)
+    state, samples, sinfo = chees_sample(potential, state, cfg, fast_potential)
+    return {
+        "samples": samples,
+        "warmup": winfo,
+        "sampling": sinfo,
+        "step_size": float(state.step_size),
+        "traj_len": float(state.traj_len),
+        "inv_mass": np.asarray(state.inv_mass),
+    }

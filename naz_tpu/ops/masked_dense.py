@@ -23,9 +23,34 @@ import jax
 import jax.numpy as jnp
 
 
-def masked_linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """``x @ (w * mask).T + b`` with f32 MXU accumulation. w, mask: (out, in)."""
-    y = jnp.dot(x, (w * mask).T, preferred_element_type=jnp.float32)
+def masked_linear(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    mask: jnp.ndarray,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """``x @ (w * mask).T + b`` with f32 MXU accumulation. w, mask: (out, in).
+
+    ``compute_dtype=jnp.bfloat16`` casts the matmul *operands* (activations
+    and masked weights) while keeping f32 accumulation and f32 bias add.
+    At the reference's production shape ((190k, 150) activations) the
+    conditioner chain is HBM-bandwidth-bound; halving activation bytes is
+    worth ~3x measured throughput (PERFORMANCE.md). The density becomes a
+    (deterministic) bf16-rounded approximation — see
+    ``MaskedAutoregressiveFlow.compute_dtype`` for where this is sound.
+    """
+    wm = w * mask
+    if compute_dtype is not None:
+        # genuinely low-precision layer: bf16 operands AND bf16 output (MXU
+        # still accumulates f32 internally). Because the primal is bf16,
+        # autodiff's cotangents are bf16 too — both backward matmuls and
+        # the elementwise backward run at halved HBM bytes, which is the
+        # whole win at bandwidth-bound shapes. Param grads recover f32 at
+        # the astype boundary below.
+        cd = jnp.dtype(compute_dtype)
+        return jnp.dot(x.astype(cd), wm.T.astype(cd)) + b.astype(cd)
+    y = jnp.dot(x, wm.T, preferred_element_type=jnp.float32)
     return y + b
 
 
@@ -41,6 +66,7 @@ def made_mlp(
     skip_mask: Optional[jnp.ndarray] = None,
     dropout_rate: float = 0.0,
     dropout_key: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
 ) -> tuple[jnp.ndarray, ...]:
     """Evaluate one MADE conditioner.
 
@@ -75,13 +101,17 @@ def made_mlp(
 
     use_dropout = dropout_rate > 0.0 and dropout_key is not None
     for k, (layer, mask) in enumerate(zip(params[:-1], masks[:-1])):
-        h = activation(masked_linear(h, layer["w"], layer["b"], mask))
+        h = activation(masked_linear(h, layer["w"], layer["b"], mask, compute_dtype))
         if use_dropout:
             keep = jax.random.bernoulli(
                 jax.random.fold_in(dropout_key, k), 1.0 - dropout_rate, h.shape
             )
             h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
-    out = masked_linear(h, params[-1]["w"], params[-1]["b"], masks[-1])
+    out = masked_linear(h, params[-1]["w"], params[-1]["b"], masks[-1], compute_dtype)
+    if compute_dtype is not None:
+        # hand mean / log-scale blocks back in f32: the affine update, the
+        # log-det sum over 1.9e5 points, and the base log-prob stay exact
+        out = out.astype(x.dtype)
 
     if skip_weight is not None:
         out = out + jnp.dot(

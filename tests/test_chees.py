@@ -1,0 +1,150 @@
+"""ChEES-HMC: adaptation sanity and posterior correctness on analytic
+targets (CPU, 8 virtual devices via conftest)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from naz_tpu.mcmc import ChEESConfig, run_chees, effective_sample_size, split_rhat
+from naz_tpu.mcmc.chees import chees_init, chees_warmup, halton
+
+
+def test_halton_low_discrepancy():
+    idx = jnp.arange(64)
+    h = jax.vmap(halton)(idx)
+    h = np.asarray(h)
+    assert np.all((h > 0) & (h < 1))
+    assert len(np.unique(np.round(h, 9))) == 64
+    # base-2 radical inverse: first few terms 1/2, 1/4, 3/4, 1/8, ...
+    np.testing.assert_allclose(h[:4], [0.5, 0.25, 0.75, 0.125])
+    # stratification: every length-8 window covers both halves of (0,1)
+    for lo in range(0, 64, 8):
+        w = h[lo : lo + 8]
+        assert (w < 0.5).any() and (w >= 0.5).any()
+
+
+def _gaussian_potential(scales):
+    scales = jnp.asarray(scales)
+
+    def U(q):
+        return 0.5 * jnp.sum((q / scales) ** 2)
+
+    return U
+
+
+def test_chees_gaussian_moments_and_ess():
+    scales = jnp.array([1.0, 3.0, 0.5, 2.0])
+    U = _gaussian_potential(scales)
+    cfg = ChEESConfig(
+        num_warmup=400, num_samples=400, num_chains=8, seed=1,
+        init_step_size=0.5, max_leapfrogs=128,
+    )
+    q0 = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (cfg.num_chains, 4))
+    out = run_chees(U, q0, cfg)
+    s = np.asarray(out["samples"])  # (draws, chains, dim)
+    flat = s.reshape(-1, 4)
+    np.testing.assert_allclose(flat.mean(0), np.zeros(4), atol=0.25)
+    np.testing.assert_allclose(flat.std(0), np.asarray(scales), rtol=0.15)
+    # accept near the jittered-HMC target
+    acc = out["sampling"]["accept_prob"].mean()
+    assert 0.45 < acc < 0.95
+    # mixing: decent ESS and converged chains
+    ess = np.asarray(effective_sample_size(jnp.asarray(s)))
+    assert ess.min() > 100
+    rhat = np.asarray(split_rhat(jnp.asarray(s)))
+    assert rhat.max() < 1.1
+
+
+def test_chees_trajectory_adapts_to_scale():
+    """With a FIXED (identity) mass matrix, the adapted T must track the
+    target's width (optimal T ~ O(sigma)). (With mass adaptation on, both
+    targets normalize to unit geometry and correctly adapt to the same T —
+    so the scale response is only visible at fixed mass.)"""
+    cfgs = ChEESConfig(
+        num_warmup=300, num_chains=8, seed=2, init_traj_len=0.5,
+        adapt_mass=False,
+    )
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+
+    U_narrow = _gaussian_potential([0.3, 0.3])
+    U_wide = _gaussian_potential([5.0, 5.0])
+    s_n = chees_init(U_narrow, q0 * 0.3, cfgs)
+    s_w = chees_init(U_wide, q0 * 5.0, cfgs)
+    _, info_n = chees_warmup(U_narrow, s_n, cfgs)
+    _, info_w = chees_warmup(U_wide, s_w, cfgs)
+    assert info_w["traj_len"] > 3.0 * info_n["traj_len"]
+
+
+def test_chees_mass_adaptation_anisotropic():
+    scales = jnp.array([0.1, 10.0])
+    U = _gaussian_potential(scales)
+    cfg = ChEESConfig(num_warmup=500, num_samples=200, num_chains=8, seed=3)
+    q0 = jax.random.normal(jax.random.PRNGKey(1), (8, 2)) * scales
+    out = run_chees(U, q0, cfg)
+    inv_mass = out["inv_mass"]
+    # inv_mass ~ posterior variance: ratio should reflect 1e4 scale split
+    assert inv_mass[1] / inv_mass[0] > 1e2
+    flat = np.asarray(out["samples"]).reshape(-1, 2)
+    np.testing.assert_allclose(flat.std(0), np.asarray(scales), rtol=0.2)
+
+
+def test_chees_correlated_gaussian():
+    rho = 0.9
+    cov = jnp.array([[1.0, rho], [rho, 1.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def U(q):
+        return 0.5 * q @ prec @ q
+
+    cfg = ChEESConfig(num_warmup=400, num_samples=500, num_chains=8, seed=4)
+    q0 = jax.random.normal(jax.random.PRNGKey(2), (8, 2))
+    out = run_chees(U, q0, cfg)
+    flat = np.asarray(out["samples"]).reshape(-1, 2)
+    emp = np.corrcoef(flat.T)[0, 1]
+    assert abs(emp - rho) < 0.05
+
+
+def test_fit_chees_flow_posterior():
+    """ChEES end-to-end over flow weights through the bayes surface."""
+    from naz_tpu.bayes import BayesianFlow, make_flow_loglik, fit_chees
+    from naz_tpu.flows import maf_flow
+    from naz_tpu.train import MLEConfig, train_mle
+
+    key = jax.random.PRNGKey(0)
+    x = 0.7 * jax.random.normal(key, (512, 2)) + jnp.array([0.5, -0.2])
+    flow = maf_flow(2, n_layers=2, hidden_dims=(8,), seed=0)
+    res = train_mle(
+        flow, x, config=MLEConfig(lr=5e-3, max_epochs=120, batch_frac=0.5, patience=20)
+    )
+    bf = BayesianFlow(make_flow_loglik(flow, x), res.params, scale_max=0.02)
+    cfg = ChEESConfig(
+        num_warmup=150, num_samples=150, num_chains=4, seed=0, max_leapfrogs=64
+    )
+    post = fit_chees(bf, cfg)
+    assert post["params_flat"].shape[:2] == (150, 4)
+    d = post["diagnostics"]
+    assert (d["split_rhat"] < 1.3).all(), d["split_rhat"]
+    assert d["total_grad_evals"] > 0 and d["traj_len"] > 0
+    ll_mle = float(bf.log_likelihood_flat(bf._flat_mle))
+    ll_post = np.asarray(post["log_likelihood"])
+    assert ll_post.max() <= ll_mle + 5.0
+    assert np.isfinite(ll_post).all()
+
+
+def test_chees_mixed_precision_targets_exact_potential():
+    """With a deliberately WRONG fast potential for leapfrog gradients, the
+    sampler must still target exp(-potential) exactly (accept energies are
+    exact; leapfrog with any deterministic field is a valid proposal)."""
+    scales = jnp.array([1.0, 2.0])
+    U = _gaussian_potential(scales)
+    U_fast = _gaussian_potential(scales * 1.15)  # 15% mis-scaled gradients
+
+    cfg = ChEESConfig(num_warmup=400, num_samples=600, num_chains=8, seed=5)
+    q0 = jax.random.normal(jax.random.PRNGKey(3), (8, 2))
+    out = run_chees(U, q0, cfg, fast_potential=U_fast)
+    flat = np.asarray(out["samples"]).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(0), np.zeros(2), atol=0.2)
+    np.testing.assert_allclose(flat.std(0), np.asarray(scales), rtol=0.12)
+    # mis-tuned gradients cost acceptance but not correctness
+    assert out["sampling"]["accept_prob"].mean() > 0.3

@@ -99,3 +99,44 @@ def test_orientations_define_same_maps():
     z2, ldi = ti.inverse(params, y)
     np.testing.assert_allclose(np.asarray(z2), np.asarray(z), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(ldf + ldi), 0.0, atol=1e-4)
+
+
+def test_compute_dtype_bf16_close_to_f32():
+    """compute_dtype='bfloat16' halves activation bandwidth (the production
+    win, PERFORMANCE.md); on true-f32 backends it is a deterministic
+    rounded approximation that must stay close and fully trainable."""
+    from naz_tpu.flows import maf_flow
+
+    f32 = maf_flow(2, n_layers=4, hidden_dims=(32, 32), context_dim=2, seed=0)
+    b16 = maf_flow(2, n_layers=4, hidden_dims=(32, 32), context_dim=2, seed=0,
+                   compute_dtype="bfloat16")
+    params = jax.tree.map(
+        lambda p: p + 0.05 * jax.random.normal(jax.random.PRNGKey(1), p.shape),
+        f32.init_params(jax.random.PRNGKey(0)),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(2), (256, 2))
+    c = jax.random.normal(jax.random.PRNGKey(3), (256, 2))
+
+    lp32 = f32.log_prob(params, x, context=c)
+    lp16 = b16.log_prob(params, x, context=c)
+    assert lp16.dtype == jnp.float32  # outputs stay f32
+    err = np.abs(np.asarray(lp16 - lp32))
+    scale = np.abs(np.asarray(lp32)).mean() + 1.0
+    assert np.median(err) < 0.02 * scale, (np.median(err), scale)
+    assert err.max() < 0.2 * scale, (err.max(), scale)
+
+    g32 = jax.grad(lambda p: f32.log_prob(p, x, context=c).mean())(params)
+    g16 = jax.grad(lambda p: b16.log_prob(p, x, context=c).mean())(params)
+    a = np.concatenate([np.ravel(l) for l in jax.tree.leaves(g32)])
+    b = np.concatenate([np.ravel(l) for l in jax.tree.leaves(g16)])
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.99, cos
+    # param grads come back f32
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(g16))
+
+    # sampling (sequential inversion) also works under bf16 compute
+    s16 = b16.sample(params, jax.random.PRNGKey(4), 512, context=jnp.zeros((1, 2)))
+    s32 = f32.sample(params, jax.random.PRNGKey(4), 512, context=jnp.zeros((1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(s16).mean(0), np.asarray(s32).mean(0), atol=0.05
+    )
