@@ -137,7 +137,7 @@ def main(argv=None):
         "--kernel", default="nuts", choices=["nuts", "hmc", "chees"],
         help="transition kernel: NUTS (default), fixed-length HMC, or "
         "ChEES-HMC (cross-chain adaptive trajectories; best with many "
-        "vmapped chains; no checkpoint support yet)",
+        "vmapped chains; supports --chckpt)",
     )
     hp.add_argument("--out", required=True, help="posterior output (.npz)")
 
@@ -363,8 +363,6 @@ def main(argv=None):
             from naz_tpu.bayes import fit_chees
             from naz_tpu.mcmc.chees import ChEESConfig
 
-            if args.chckpt:
-                raise SystemExit("--chckpt is not supported with --kernel chees")
             fast_potential = None
             if getattr(args, "compute_dtype", None) == "bfloat16":
                 # mixed precision: the bf16 flow drives leapfrog gradients;
@@ -390,6 +388,7 @@ def main(argv=None):
                     chain_exec=args.chain_exec,
                 ),
                 fast_potential=fast_potential,
+                checkpoint_dir=args.chckpt,
             )
         else:
             from naz_tpu.bayes import fit_nuts

@@ -90,6 +90,8 @@ def fit_chees(
     cfg=None,
     init_jitter: float = 0.1,
     fast_potential=None,
+    checkpoint_dir: Optional[str] = None,
+    nbatch: int = 100,
 ) -> dict:
     """Sample the weight posterior with ChEES-HMC (cross-chain adaptive
     trajectory length; ``naz_tpu.mcmc.chees``). Same return layout as
@@ -98,11 +100,32 @@ def fit_chees(
     tuned trajectory avoids NUTS's rejected-subtree gradient waste."""
     from naz_tpu.mcmc.chees import ChEESConfig, run_chees
 
+    from naz_tpu.mcmc.chees import run_chees_checkpointed
+
     cfg = cfg or ChEESConfig()
     q0 = bayes_flow.init_positions(
         jax.random.PRNGKey(cfg.seed + 1), cfg.num_chains, jitter=init_jitter
     )
-    res = run_chees(bayes_flow.potential, q0, cfg, fast_potential=fast_potential)
+    if checkpoint_dir is not None:
+        posterior = run_chees_checkpointed(
+            bayes_flow.potential, q0, cfg, checkpoint_dir, nbatch=nbatch,
+            fast_potential=fast_potential,
+        )
+        res = {
+            "samples": jnp.asarray(posterior["q"]),
+            "warmup": {"num_grad_evals": 0},
+            "sampling": {
+                "accept_prob": posterior["accept_prob"],
+                "num_leapfrogs": posterior["num_leapfrogs"],
+                "num_grad_evals": int(np.sum(posterior["num_leapfrogs"]))
+                * q0.shape[0],
+            },
+            "step_size": float("nan"),
+            "traj_len": float("nan"),
+            "inv_mass": None,
+        }
+    else:
+        res = run_chees(bayes_flow.potential, q0, cfg, fast_potential=fast_potential)
     u = jnp.asarray(res["samples"])  # (draws, chains, dim)
 
     out = bayes_flow.posterior_params(u)

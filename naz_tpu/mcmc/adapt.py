@@ -127,3 +127,23 @@ def build_warmup_schedule(
         start = end
         size *= 2
     return is_slow, window_end
+
+
+def welford_merge_batch(state: WelfordState, x_batch: jnp.ndarray) -> WelfordState:
+    """Fold a whole (B, dim) batch into the accumulator at once (Chan's
+    parallel-variance merge; algebraically exact vs feeding the B samples
+    sequentially).
+
+    Mesh-friendly: when the batch axis is sharded (e.g. MCMC chains over the
+    ``chains`` mesh axis), the ``mean``/``sum`` reductions lower to psums —
+    unlike a sequential ``fori_loop`` feed, which would gather one remote
+    row per step.
+    """
+    b = x_batch.shape[0]
+    batch_mean = jnp.mean(x_batch, axis=0)
+    batch_m2 = jnp.sum((x_batch - batch_mean) ** 2, axis=0)
+    count = state.count + b
+    delta = batch_mean - state.mean
+    mean = state.mean + delta * (b / count)
+    m2 = state.m2 + batch_m2 + delta * delta * (state.count * b / count)
+    return WelfordState(mean, m2, count)

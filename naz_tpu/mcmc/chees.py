@@ -51,7 +51,7 @@ from naz_tpu.mcmc.adapt import (
     da_init,
     da_update,
     welford_init,
-    welford_update,
+    welford_merge_batch,
     welford_variance,
 )
 from naz_tpu.mcmc.hmc import LeapfrogState, kinetic, leapfrog, find_reasonable_step_size
@@ -325,14 +325,12 @@ def chees_warmup(
             jnp.log(cfg.max_leapfrogs * state.step_size),
         )
 
-        # mass: every chain feeds the shared Welford accumulator
-        def feed(wf):
-            return lax.fori_loop(
-                0, q.shape[0], lambda c, w: welford_update(w, q[c]), wf
-            )
-
+        # mass: the whole chain batch feeds the shared Welford accumulator
+        # in one exact merge (collective-friendly when chains are sharded)
         wf = jax.tree.map(
-            lambda a, b: jnp.where(slow, a, b), feed(carry.wf), carry.wf
+            lambda a, b: jnp.where(slow, a, b),
+            welford_merge_batch(carry.wf, q),
+            carry.wf,
         )
 
         # window close: adopt variance, restart DA and Welford
@@ -466,3 +464,65 @@ def run_chees(
         "traj_len": float(state.traj_len),
         "inv_mass": np.asarray(state.inv_mass),
     }
+
+
+def run_chees_checkpointed(
+    potential: Callable,
+    q0: jnp.ndarray,
+    cfg: ChEESConfig,
+    checkpoint_dir: str,
+    nbatch: int = 100,
+    fast_potential: Callable = None,
+    callback=None,
+) -> dict:
+    """Elastic checkpointed ChEES sampling (the reference's
+    ``train_bayesian_flow`` semantics, ``bflow_jax_maf.py:355-404``, for
+    this kernel): warm up once, then draw ``nbatch`` per round, appending
+    to an on-disk posterior until ``cfg.num_samples`` per chain are
+    collected. A killed run resumes from the last completed round — the
+    full sampler state (positions, per-chain RNG keys, step size,
+    trajectory length, mass, Halton counter) round-trips through pytree
+    .npz files, so the resumed stream is identical to an uninterrupted
+    run. Returns ``{"q": (total, chains, dim), ...}`` as numpy arrays."""
+    import os
+
+    from naz_tpu.io.checkpoint import load_pytree, save_pytree
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    state_file = os.path.join(checkpoint_dir, "chees_state.npz")
+    posterior_file = os.path.join(checkpoint_dir, "posterior.npz")
+
+    state = chees_init(potential, q0, cfg, fast_potential)
+    posterior = None
+    if os.path.exists(state_file):
+        state = load_pytree(state_file, state)
+        if os.path.exists(posterior_file):
+            post_np = np.load(posterior_file)
+            posterior = {k: post_np[k] for k in post_np.files}
+    else:
+        state, _ = chees_warmup(potential, state, cfg, fast_potential)
+        save_pytree(state_file, state)
+
+    collected = 0 if posterior is None else posterior["q"].shape[0]
+    while collected < cfg.num_samples:
+        n = min(nbatch, cfg.num_samples - collected)
+        batch_cfg = dataclasses.replace(cfg, num_samples=n)
+        state, q, info = chees_sample(potential, state, batch_cfg, fast_potential)
+        new = {
+            "q": np.asarray(q),
+            "accept_prob": np.asarray(info["accept_prob"]),
+            "num_leapfrogs": np.asarray(info["num_leapfrogs"]),
+        }
+        posterior = (
+            new
+            if posterior is None
+            else {k: np.concatenate([posterior[k], new[k]], axis=0) for k in posterior}
+        )
+        collected = posterior["q"].shape[0]
+        # state first, then posterior: a crash between the writes loses at
+        # most one batch of draws, never double-counts
+        save_pytree(state_file, state)
+        np.savez(posterior_file, **posterior)
+        if callback is not None:
+            callback(collected, posterior)
+    return posterior

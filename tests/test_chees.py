@@ -148,3 +148,34 @@ def test_chees_mixed_precision_targets_exact_potential():
     np.testing.assert_allclose(flat.std(0), np.asarray(scales), rtol=0.12)
     # mis-tuned gradients cost acceptance but not correctness
     assert out["sampling"]["accept_prob"].mean() > 0.3
+
+
+def test_chees_checkpoint_resume_exact(tmp_path):
+    """Interrupted checkpointed ChEES must resume the exact stream."""
+    from naz_tpu.mcmc import run_chees_checkpointed
+
+    U = _gaussian_potential([1.0, 2.0])
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (4, 2))
+    cfg = ChEESConfig(num_warmup=100, num_samples=60, num_chains=4, seed=3)
+
+    d = str(tmp_path / "ck")
+    post_full = run_chees_checkpointed(U, q0, cfg, d, nbatch=20)
+    assert post_full["q"].shape == (60, 4, 2)
+
+    d2 = str(tmp_path / "ck2")
+
+    class Stop(Exception):
+        pass
+
+    def bomb(collected, _):
+        if collected >= 20:
+            raise Stop
+
+    with pytest.raises(Stop):
+        run_chees_checkpointed(U, q0, cfg, d2, nbatch=20, callback=bomb)
+    post_resumed = run_chees_checkpointed(U, q0, cfg, d2, nbatch=20)
+    assert post_resumed["q"].shape == (60, 4, 2)
+    np.testing.assert_array_equal(post_resumed["q"][:20], post_full["q"][:20])
+    # the full stream matches an uninterrupted run exactly (RNG + Halton
+    # counter + adaptation state all round-trip)
+    np.testing.assert_array_equal(post_resumed["q"], post_full["q"])

@@ -130,3 +130,24 @@ def test_actnorm_composes_in_flow():
     np.testing.assert_allclose(
         np.asarray(flow.log_prob(params, s)), np.asarray(lp_s), rtol=1e-3, atol=1e-3
     )
+
+
+def test_welford_batch_merge_matches_sequential():
+    from naz_tpu.mcmc.adapt import (
+        welford_init, welford_update, welford_merge_batch, welford_variance,
+    )
+    import jax.numpy as jnp
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (17, 5)) * jnp.arange(1.0, 6.0)
+    seq = welford_init(5)
+    for i in range(17):
+        seq = welford_update(seq, x[i])
+    merged = welford_merge_batch(welford_init(5), x)
+    np.testing.assert_allclose(np.asarray(merged.mean), np.asarray(seq.mean), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(merged.m2), np.asarray(seq.m2), rtol=1e-5)
+    assert float(merged.count) == float(seq.count) == 17.0
+    # two-stage merge (prior state + batch) also exact
+    two = welford_merge_batch(welford_merge_batch(welford_init(5), x[:7]), x[7:])
+    np.testing.assert_allclose(
+        np.asarray(welford_variance(two)), np.asarray(welford_variance(seq)), rtol=1e-5
+    )
