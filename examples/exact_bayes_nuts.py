@@ -54,6 +54,12 @@ def main(argv=None):
     p.add_argument("--steps-per-program", type=int, default=4,
                    help="MCMC transitions per device program (remote workers kill long executions)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--kernel", default="nuts", choices=["nuts", "chees"],
+        help="chees = cross-chain adaptive HMC (lockstep chains; supports "
+        "mixed precision via --compute-dtype bfloat16)",
+    )
+    p.add_argument("--compute-dtype", default=None, choices=["float32", "bfloat16"])
     args = p.parse_args(argv)
 
     import jax
@@ -77,14 +83,17 @@ def main(argv=None):
         theta, lam = theta[:: args.fthin], lam[:: args.fthin]
     print(f"training set: theta {theta.shape}, lambda {lam.shape}")
 
-    flow = FlowSpec(
+    cd = None if args.compute_dtype in (None, "float32") else args.compute_dtype
+    spec = FlowSpec(
         flow_type="maf",
         dim=theta.shape[1],
         context_dim=lam.shape[1],
         n_layers=args.layers,
         hidden_dims=tuple(args.hidden),
         seed=args.seed,
-    ).build()
+        compute_dtype=cd,
+    )
+    flow = spec.build()
     import os as _os
 
     from naz_tpu.io.checkpoint import load_pytree, save_pytree
@@ -125,10 +134,39 @@ def main(argv=None):
         steps_per_program=args.steps_per_program,
         seed=args.seed,
     )
-    post = fit_nuts(bf, cfg, checkpoint_dir=args.chckpt)
+    if args.kernel == "chees":
+        import dataclasses as _dc
+
+        from naz_tpu.bayes import fit_chees
+        from naz_tpu.mcmc.chees import ChEESConfig
+
+        fast_potential = None
+        if cd is not None:
+            # mixed precision: bf16 flow drives leapfrog gradients, the f32
+            # twin supplies exact accept energies
+            fast_potential = bf.potential
+            flow32 = _dc.replace(spec, compute_dtype=None).build()
+            bf = BayesianFlow(
+                make_flow_loglik(flow32, theta, lam), mle_params,
+                scale_max=args.sigma,
+            )
+        post = fit_chees(
+            bf,
+            ChEESConfig(
+                num_warmup=args.num_warmup,
+                num_samples=args.num_samples,
+                num_chains=args.num_chains,
+                seed=args.seed,
+                steps_per_program=max(args.steps_per_program, 10),
+            ),
+            fast_potential=fast_potential,
+            checkpoint_dir=args.chckpt,
+        )
+    else:
+        post = fit_nuts(bf, cfg, checkpoint_dir=args.chckpt)
     d = post["diagnostics"]
     print(
-        f"NUTS done: accept {d['mean_accept_prob']:.3f}, divergences "
+        f"{args.kernel} done: accept {d['mean_accept_prob']:.3f}, divergences "
         f"{d['divergence_fraction']:.4f}, rhat {d['split_rhat'].round(3)}, "
         f"grad evals {d['total_grad_evals']}"
     )

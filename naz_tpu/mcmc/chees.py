@@ -401,9 +401,15 @@ def chees_sample(
     state: ChEESState,
     cfg: ChEESConfig,
     fast_potential: Callable = None,
+    timings: list = None,
 ) -> tuple[ChEESState, jnp.ndarray, dict]:
     """Draw ``cfg.num_samples`` per chain; returns (state, samples
-    (draws, chains, dim), info)."""
+    (draws, chains, dim), info).
+
+    ``timings``: optional list; each chunk appends ``(n_draws, wall_s)``
+    (device-synced) — chunk 0 includes compile."""
+    import time as _time
+
     pg, exact_U = _exact_and_fast(potential, fast_potential, cfg.chain_exec)
 
     def one(carry, _):
@@ -421,7 +427,11 @@ def chees_sample(
     done = 0
     while done < cfg.num_samples:
         n = min(spp, cfg.num_samples - done)
+        _t0 = _time.time()
         state, (q, a, L) = _chunk(state, n)
+        if timings is not None:
+            jax.block_until_ready(q)
+            timings.append((n, _time.time() - _t0))
         qs.append(np.asarray(q))
         accs.append(np.asarray(a))
         Ls.append(np.asarray(L))

@@ -279,10 +279,19 @@ class SampleBatch(NamedTuple):
 
 
 def sample_nuts(
-    potential: Callable, state: ChainState, num_samples: int, cfg: MCMCRunConfig
+    potential: Callable,
+    state: ChainState,
+    num_samples: int,
+    cfg: MCMCRunConfig,
+    timings: Optional[list] = None,
 ) -> tuple[ChainState, SampleBatch]:
     """Draw ``num_samples`` per chain (no adaptation), in
-    ``cfg.steps_per_program``-sized jitted chunks."""
+    ``cfg.steps_per_program``-sized jitted chunks.
+
+    ``timings``: optional list; each chunk appends ``(n_draws, wall_s)``
+    (with a device sync) — chunk 0 includes compile, so steady-state
+    throughput is chunks 1+ (how bench harnesses exclude compile)."""
+    import time as _time
     pg = jax.value_and_grad(potential)
     step_fn = _over_chains(_make_step(pg, cfg), cfg.chain_exec)
     from functools import partial
@@ -304,7 +313,11 @@ def sample_nuts(
     outs = []
     for s in range(0, num_samples, chunk):
         length = min(chunk, num_samples - s)
+        _t0 = _time.time()
         state, out = _sample(state, length)
+        if timings is not None:
+            jax.block_until_ready(out[0])
+            timings.append((length, _time.time() - _t0))
         outs.append(out)
         if cfg.verbose:
             print(

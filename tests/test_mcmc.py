@@ -185,3 +185,25 @@ def test_nuts_chain_exec_map_matches_vmap():
         qs[mode] = np.asarray(batch.q)
     # identical per-chain RNG keys -> identical draws up to float reassoc
     np.testing.assert_allclose(qs["map"], qs["vmap"], rtol=1e-3, atol=1e-3)
+
+
+def test_sample_timings_populated():
+    pot = _std_normal_potential(2)
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (2, 2))
+    cfg = MCMCRunConfig(num_warmup=50, num_samples=40, num_chains=2, seed=1,
+                        steps_per_program=20)
+    st = init_chains(pot, q0, cfg)
+    st, _ = warmup_nuts(pot, st, cfg)
+    tms = []
+    _, batch = sample_nuts(pot, st, 40, cfg, timings=tms)
+    assert len(tms) == 2 and all(n == 20 and t > 0 for n, t in tms)
+
+    from naz_tpu.mcmc.chees import ChEESConfig, chees_init, chees_sample
+
+    ccfg = ChEESConfig(num_warmup=0, num_samples=40, num_chains=2, seed=1,
+                       steps_per_program=20, max_leapfrogs=8)
+    cst = chees_init(pot, q0, ccfg)
+    tms = []
+    _, q, _ = chees_sample(pot, cst, ccfg, timings=tms)
+    assert q.shape == (40, 2, 2)
+    assert len(tms) == 2 and all(n == 20 and t > 0 for n, t in tms)
