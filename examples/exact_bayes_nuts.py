@@ -60,6 +60,8 @@ def main(argv=None):
         "mixed precision via --compute-dtype bfloat16)",
     )
     p.add_argument("--compute-dtype", default=None, choices=["float32", "bfloat16"])
+    p.add_argument("--max-leapfrogs", type=int, default=1024,
+                   help="ChEES trajectory-length cap (leapfrogs per draw)")
     args = p.parse_args(argv)
 
     import jax
@@ -158,6 +160,8 @@ def main(argv=None):
                 num_chains=args.num_chains,
                 seed=args.seed,
                 steps_per_program=max(args.steps_per_program, 10),
+                max_leapfrogs=args.max_leapfrogs,
+                verbose=True,
             ),
             fast_potential=fast_potential,
             checkpoint_dir=args.chckpt,
