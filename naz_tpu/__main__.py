@@ -139,6 +139,11 @@ def main(argv=None):
         "ChEES-HMC (cross-chain adaptive trajectories; best with many "
         "vmapped chains; supports --chckpt)",
     )
+    hp.add_argument(
+        "--trace", default=None,
+        help="capture a jax.profiler device trace of the run into this "
+        "directory (TensorBoard/Perfetto)",
+    )
     hp.add_argument("--out", required=True, help="posterior output (.npz)")
 
     sp = sub.add_parser("svi", help="variational posterior + IS evidence")
@@ -357,6 +362,13 @@ def main(argv=None):
     print(f"model complexity: {bf.complexity}")
 
     if args.cmd == "hmc":
+        import contextlib
+
+        _stack = contextlib.ExitStack()
+        if args.trace:
+            from naz_tpu.utils import trace as _trace
+
+            _stack.enter_context(_trace(args.trace))
         if args.kernel == "chees":
             import copy
 
@@ -406,6 +418,7 @@ def main(argv=None):
                 ),
                 checkpoint_dir=args.chckpt,
             )
+        _stack.close()  # flush the profiler trace before writing outputs
         np.savez(
             args.out,
             params_flat=np.asarray(post["params_flat"]),

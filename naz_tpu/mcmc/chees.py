@@ -201,9 +201,8 @@ def _trajectories(pg, state: ChEESState, cfg: ChEESConfig):
 
 
 def _accept(s1: LeapfrogState, H0, state: ChEESState, exact_U=None):
-    """Metropolis accept with (optionally exact) endpoint energies.
-
-    Returns (q, U, grad, accept_prob, diverging, U1)."""
+    """Metropolis accept probabilities with (optionally exact) endpoint
+    energies. Returns (accept_prob, diverging, U1)."""
     U1 = exact_U(s1.q) if exact_U is not None else s1.U
     H1 = U1 + kinetic(s1.r, state.inv_mass[None, :])
     delta = jnp.where(jnp.isnan(H1 - H0), jnp.inf, H1 - H0)

@@ -69,3 +69,43 @@ def test_sbc_rank_uniformity():
     np.testing.assert_allclose(
         draws.mean(axis=1), post_mean_analytic, atol=0.35
     )
+
+
+def test_sbc_rank_uniformity_chees():
+    """SBC for the ChEES kernel. Replications are packed as independent
+    coordinates of ONE product target (the posterior factorizes), so a
+    single multi-chain ChEES run calibrates all of them — the natural
+    layout for a kernel whose adaptation is cross-chain."""
+    from naz_tpu.mcmc import ChEESConfig, run_chees
+
+    n_rep = 64
+    n_obs = 5
+    L = 63
+
+    key = jax.random.PRNGKey(42)
+    k_theta, k_y = jax.random.split(key)
+    theta_true = jax.random.normal(k_theta, (n_rep,))
+    y = theta_true[:, None] + jax.random.normal(k_y, (n_rep, n_obs))
+    y_sum = jnp.sum(y, axis=1)
+
+    def pot(q):  # product of the n_rep conjugate posteriors
+        return 0.5 * jnp.sum(q * q) + 0.5 * jnp.sum((y - q[:, None]) ** 2)
+
+    cfg = ChEESConfig(
+        num_warmup=300, num_samples=2 * L, num_chains=8, seed=7,
+        max_leapfrogs=64, steps_per_program=200,
+    )
+    q0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (8, n_rep))
+    out = run_chees(pot, q0, cfg)
+    draws = np.asarray(out["samples"])[:, 0, :]  # chain 0: (2L, n_rep)
+    draws = draws[::2][:L]
+
+    ranks = (draws < np.asarray(theta_true)[None, :]).sum(axis=0)
+    bins = np.linspace(0, L + 1, 9)
+    counts, _ = np.histogram(ranks, bins=bins)
+    expected = n_rep / 8
+    chi2 = ((counts - expected) ** 2 / expected).sum()
+    crit = sps.chi2.ppf(0.999, df=7)
+    assert chi2 < crit, (chi2, counts)
+    post_mean_analytic = np.asarray(y_sum / (n_obs + 1))
+    np.testing.assert_allclose(draws.mean(axis=0), post_mean_analytic, atol=0.35)
