@@ -176,6 +176,57 @@ def main(argv=None):
     cp.add_argument("--draw-batch", type=int, default=16)
     cp.add_argument("--out", required=True, help="output prefix (txt + png per nq)")
 
+    pp = sub.add_parser(
+        "predict",
+        help="posterior-predictive sample generation (reference predict, "
+        "train_flows.py:384-422; prior-predictive via --prior-draws, "
+        "bflow_jax_maf.py:337-341)",
+    )
+    _add_flow_args(pp)
+    pp.add_argument("--data", required=True)
+    pp.add_argument("--fthin", type=int, default=1)
+    pp.add_argument("--posterior", default=None, help="npz from `hmc`/`svi`")
+    pp.add_argument(
+        "--prior-draws", type=int, default=0,
+        help="also draw this many weight-PRIOR realizations "
+        "(needs --mle-params to center the prior)",
+    )
+    pp.add_argument("--mle-params", default=None)
+    pp.add_argument("--sigma", type=float, default=1.0)
+    pp.add_argument("--prior", default="uniform")
+    pp.add_argument("--n-samples", type=int, default=100_000,
+                    help="flow samples per draw (reference uses 1e6)")
+    pp.add_argument("--max-draws", type=int, default=256)
+    pp.add_argument("--draw-batch", type=int, default=16)
+    pp.add_argument(
+        "--context-index", type=int, default=0,
+        help="row of test_lambda (or train_lambda) to condition on",
+    )
+    pp.add_argument("--out", required=True,
+                    help="npz with ppd (n_draws, n_samples, dim)")
+
+    lp = sub.add_parser(
+        "plot",
+        help="marginal HPD bands (prior vs posterior vs truth) + 90%% "
+        "contours (reference plot.py / plot_svi.py:181-305)",
+    )
+    _add_flow_args(lp)
+    lp.add_argument("--data", required=True)
+    lp.add_argument("--fthin", type=int, default=1)
+    lp.add_argument("--posterior", required=True)
+    lp.add_argument("--prior-draws", type=int, default=0,
+                    help="overlay prior-predictive bands (needs --mle-params)")
+    lp.add_argument("--mle-params", default=None)
+    lp.add_argument("--sigma", type=float, default=1.0)
+    lp.add_argument("--prior", default="uniform")
+    lp.add_argument("--n-samples", type=int, default=100_000)
+    lp.add_argument("--max-draws", type=int, default=128)
+    lp.add_argument("--draw-batch", type=int, default=16)
+    lp.add_argument("--grid-bins", type=int, default=60)
+    lp.add_argument("--credibility", type=float, default=0.9)
+    lp.add_argument("--context-index", type=int, default=0)
+    lp.add_argument("--out", required=True, help="output prefix (png per dim)")
+
     bp = sub.add_parser("bic", help="BIC from a posterior run (compute_bic_simpler)")
     bp.add_argument("--data", required=True)
     bp.add_argument("--fthin", type=int, default=1)
@@ -248,6 +299,168 @@ def main(argv=None):
                 {str(nq): np.round(c, 4).tolist() for nq, c in results.items()}
             )
         )
+        return 0
+
+    if args.cmd in ("predict", "plot"):
+        import jax
+        from jax.flatten_util import ravel_pytree
+        from naz_tpu.data import load_training_h5
+        from naz_tpu.io.checkpoint import load_pytree
+        from naz_tpu.stats.calibrate import posterior_predictive
+
+        d = load_training_h5(args.data, thin=args.fthin)
+        theta_true = np.asarray(
+            d.get("test_theta", d["train_theta"]), dtype=np.float32
+        )
+        lam = d.get("test_lambda", d.get("train_lambda"))
+        context = (
+            None if lam is None
+            else np.asarray(lam, np.float32)[args.context_index]
+        )
+
+        flow = _build_flow(
+            args, theta_true, None if context is None else context[None, :]
+        )
+        template = flow.init_params(jax.random.PRNGKey(args.seed))
+        _, unravel = ravel_pytree(template)
+        key = jax.random.PRNGKey(args.seed)
+
+        def _thin_flat(pf):
+            pf = np.asarray(pf)
+            pf = pf.reshape(-1, pf.shape[-1])
+            if len(pf) > args.max_draws:
+                pf = pf[:: max(1, len(pf) // args.max_draws)][: args.max_draws]
+            return pf
+
+        post_ppd = prior_ppd = None
+        if args.posterior:
+            pf = _thin_flat(np.load(args.posterior)["params_flat"])
+            params_draws = jax.vmap(unravel)(jax.numpy.asarray(pf))
+            post_ppd = np.asarray(
+                posterior_predictive(
+                    flow, params_draws, key, args.n_samples,
+                    context=context, draw_batch=args.draw_batch,
+                )
+            )
+        if args.prior_draws > 0:
+            if args.mle_params is None:
+                raise SystemExit("--prior-draws needs --mle-params")
+            from naz_tpu.bayes import BayesianFlow, make_flow_loglik
+
+            mle = load_pytree(args.mle_params, template)
+            bf = BayesianFlow(
+                make_flow_loglik(
+                    flow, theta_true[:1],
+                    None if context is None else context[None, :],
+                ),
+                mle, scale_max=args.sigma, prior=args.prior,
+            )
+            pr = bf.sample_prior(
+                jax.random.PRNGKey(args.seed + 1), args.prior_draws
+            )
+            prior_ppd = np.asarray(
+                posterior_predictive(
+                    flow, pr["params"], jax.random.PRNGKey(args.seed + 2),
+                    args.n_samples, context=context,
+                    draw_batch=args.draw_batch,
+                )
+            )
+
+        if args.cmd == "predict":
+            out = {}
+            if post_ppd is not None:
+                out["ppd"] = post_ppd
+            if prior_ppd is not None:
+                out["prior_ppd"] = prior_ppd
+            if not out:
+                raise SystemExit("predict needs --posterior and/or --prior-draws")
+            np.savez(args.out, **out)
+            print(
+                json.dumps(
+                    {k: list(v.shape) for k, v in out.items()} | {"out": args.out}
+                )
+            )
+            return 0
+
+        # ---- plot ----
+        if post_ppd is None:
+            raise SystemExit("plot needs --posterior")
+        from naz_tpu.stats.plotting import (
+            marginal_density_draws,
+            plot_contour_level,
+            plot_marginal_bands,
+        )
+
+        dim = theta_true.shape[1]
+        edges = [
+            np.linspace(
+                theta_true[:, j].min(), theta_true[:, j].max(),
+                args.grid_bins + 1,
+            )
+            for j in range(dim)
+        ]
+        centers = [0.5 * (e[1:] + e[:-1]) for e in edges]
+        truth = [
+            np.histogram(theta_true[:, j], bins=edges[j], density=True)[0]
+            for j in range(dim)
+        ]
+        post_marg = marginal_density_draws(post_ppd, edges)
+        prior_marg = (
+            None if prior_ppd is None
+            else marginal_density_draws(prior_ppd, edges)
+        )
+
+        written = []
+        try:
+            for j in range(dim):
+                ax = plot_marginal_bands(
+                    centers[j], post_marg[j], truth_pdf=truth[j],
+                    credibility=args.credibility,
+                )
+                if prior_marg is not None:
+                    plot_marginal_bands(
+                        centers[j], prior_marg[j], ax=ax,
+                        credibility=args.credibility,
+                        label="prior", color="C1",
+                    )
+                ax.set_xlabel(f"theta[{j}]")
+                ax.set_ylabel("density")
+                f = f"{args.out}_marginal{j}.png"
+                ax.figure.savefig(f, dpi=120)
+                written.append(f)
+            if dim == 2:
+                # per-draw 2-D histogram densities -> median density map;
+                # overlay its level contour vs the truth histogram's
+                hists = np.stack(
+                    [
+                        np.histogram2d(
+                            s[:, 0], s[:, 1], bins=[edges[0], edges[1]],
+                            density=True,
+                        )[0]
+                        for s in post_ppd
+                    ]
+                )
+                med = np.median(hists, axis=0)
+                truth2d = np.histogram2d(
+                    theta_true[:, 0], theta_true[:, 1],
+                    bins=[edges[0], edges[1]], density=True,
+                )[0]
+                X, Y = np.meshgrid(centers[0], centers[1], indexing="ij")
+                ax = plot_contour_level(
+                    X, Y, med, mass=args.credibility, colors="C0",
+                )
+                plot_contour_level(
+                    X, Y, truth2d, mass=args.credibility, ax=ax, colors="k",
+                    linestyles="dashed",
+                )
+                ax.set_xlabel("theta[0]")
+                ax.set_ylabel("theta[1]")
+                f = f"{args.out}_contour.png"
+                ax.figure.savefig(f, dpi=120)
+                written.append(f)
+        except Exception as e:  # matplotlib optional
+            print(f"plot skipped: {e}", file=sys.stderr)
+        print(json.dumps({"written": written}))
         return 0
 
     if args.cmd == "bic":

@@ -99,6 +99,26 @@ def plot_calibration(
     return ax
 
 
+def marginal_density_draws(samples, edges):
+    """Per-draw 1-D histogram densities along every dimension.
+
+    ``samples``: (n_draws, n_samples, d) posterior-predictive draws;
+    ``edges``: length-d sequence of bin-edge arrays. Returns a list of d
+    arrays, each (n_draws, n_bins_i) — the sample-based counterpart of the
+    reference's grid-evaluated per-draw marginal pdfs
+    (``plot_svi.py:213-261``), usable for any d without grid blowup.
+    """
+    samples = np.asarray(samples)
+    out = []
+    for j in range(samples.shape[-1]):
+        e = np.asarray(edges[j])
+        dens = np.stack(
+            [np.histogram(s, bins=e, density=True)[0] for s in samples[..., j]]
+        )
+        out.append(dens)
+    return out
+
+
 def grid_pdf_draws(flow, params_draws, grid_points, context=None, batch: int = 64):
     """Evaluate exp(log_prob) on a grid for every posterior draw —
     vectorized replacement for the reference's per-draw pdf loops."""

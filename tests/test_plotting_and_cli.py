@@ -109,6 +109,30 @@ def test_cli_full_pipeline(tmp_path):
     bic = json.loads(out.strip().splitlines()[-1])
     assert np.isfinite(bic["bic"]) and bic["n_data"] == 600
 
+    # predict: posterior-predictive + prior-predictive npz
+    ppd = tmp_path / "ppd.npz"
+    out = run(
+        "predict", *flow_args, "--data", str(h5), "--posterior", str(post),
+        "--prior-draws", "4", "--mle-params", str(mle), "--sigma", "0.05",
+        "--n-samples", "500", "--max-draws", "6", "--draw-batch", "3",
+        "--out", str(ppd),
+    )
+    z = np.load(ppd)
+    assert z["ppd"].shape == (6, 500, 2) and np.isfinite(z["ppd"]).all()
+    assert z["prior_ppd"].shape == (4, 500, 2)
+
+    # plot: marginal bands (prior vs posterior vs truth) + contour
+    out = run(
+        "plot", *flow_args, "--data", str(h5), "--posterior", str(post),
+        "--prior-draws", "4", "--mle-params", str(mle), "--sigma", "0.05",
+        "--n-samples", "500", "--max-draws", "6", "--draw-batch", "3",
+        "--grid-bins", "24", "--out", str(tmp_path / "fig"),
+    )
+    written = json.loads(out.strip().splitlines()[-1])["written"]
+    assert len(written) == 3  # 2 marginals + 1 contour
+    for f in written:
+        assert os.path.getsize(f) > 0
+
 
 def test_cli_unconditional_bounded(tmp_path):
     """Unconditional flow on box-bounded samples via --bounds-low/high —
