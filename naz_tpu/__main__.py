@@ -27,6 +27,12 @@ def _add_flow_args(p):
         "energies stay f32 (mixed precision), so the posterior is exact.",
     )
     p.add_argument(
+        "--use-pallas", action="store_true",
+        help="fused Pallas density kernels for MAF (auto whole-stack vs "
+        "per-layer by VMEM fit; 1.5x over XLA f32 at the 4-param "
+        "production shape — PERFORMANCE.md)",
+    )
+    p.add_argument(
         "--bounds-low", type=float, nargs="+", default=None,
         help="lower box bounds per dim (logit-box bounded support, "
         "e.g. the unsupervised GW170817 fit train_mle_unsupervised.py)",
@@ -72,6 +78,7 @@ def _build_flow(args, theta, lam):
         bounds=bounds,
         seed=args.seed,
         compute_dtype=None if cd in (None, "float32") else cd,
+        use_pallas=getattr(args, "use_pallas", False),
     ).build()
 
 

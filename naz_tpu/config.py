@@ -44,6 +44,9 @@ class FlowSpec:
     # bytes of the hot path — ~1.9x measured at production scale,
     # PERFORMANCE.md); None = f32
     compute_dtype: Optional[str] = None
+    # fused Pallas density kernels for MAF (auto stack/per-layer by VMEM
+    # fit; 1.5x over XLA f32 at the 18x[512]^5 shape — PERFORMANCE.md)
+    use_pallas: bool = False
 
     def build(self, embedding=None) -> Flow:
         import jax.numpy as jnp
@@ -64,6 +67,7 @@ class FlowSpec:
                 self.hidden_dims,
                 dropout_rate=self.dropout_rate,
                 compute_dtype=self.compute_dtype,
+                use_pallas=self.use_pallas,
                 **common,
             )
         if self.flow_type == "nsa":

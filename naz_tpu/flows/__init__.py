@@ -20,6 +20,7 @@ def maf_flow(
     dropout_rate: float = 0.0,
     norm: str = "none",
     use_pallas: bool = False,
+    pallas_mode=None,
     pallas_tile: int = 2048,
     pallas_bf16: bool = True,
     compute_dtype=None,
@@ -44,6 +45,7 @@ def maf_flow(
             invert=invert,
             dropout_rate=dropout_rate,
             use_pallas=use_pallas,
+            pallas_mode=pallas_mode,
             pallas_tile=pallas_tile,
             pallas_bf16=pallas_bf16,
             compute_dtype=compute_dtype,

@@ -55,6 +55,14 @@ class MaskedAutoregressiveFlow:
     # density direction (TPU; interpret-mode on CPU). Requires tanh
     # activation and no dropout; other paths fall back to jnp.
     use_pallas: bool = False
+    # Kernel selection: None = auto by VMEM fit; "stack" = every layer's
+    # weights VMEM-resident for the whole grid (one pallas_call for the
+    # full flow — small models, e.g. 16x[150]^3); "layer" = one fused
+    # kernel per flow layer under lax.scan (weights of ONE layer resident
+    # — production 4-param scale 18x[512]^5, where the stack's 75 MB of
+    # weights cannot fit the ~16 MB of VMEM). Measured at that shape:
+    # 4.77 grad-evals/s vs 4.30 XLA-bf16 / 3.09 XLA-f32 (PERFORMANCE.md).
+    pallas_mode: Optional[str] = None
     pallas_tile: int = 1024
     # bf16 MXU passes inside the Pallas kernel (XLA-default precision);
     # set False for bitwise parity with the f32 jnp path
@@ -93,6 +101,7 @@ class MaskedAutoregressiveFlow:
         invert: bool = False,
         dropout_rate: float = 0.0,
         use_pallas: bool = False,
+        pallas_mode: Optional[str] = None,
         pallas_tile: int = 1024,
         pallas_bf16: bool = True,
         compute_dtype: Optional[str] = None,
@@ -121,6 +130,7 @@ class MaskedAutoregressiveFlow:
             invert=invert,
             dropout_rate=dropout_rate,
             use_pallas=use_pallas,
+            pallas_mode=pallas_mode,
             pallas_tile=pallas_tile,
             pallas_bf16=pallas_bf16,
             compute_dtype=compute_dtype,
@@ -219,12 +229,44 @@ class MaskedAutoregressiveFlow:
         (z, ld), _ = lax.scan(self._maybe_remat(body), init, (params, self.masks, keys))
         return z, ld
 
-    def _one_pass_pallas(self, params, x, context):
-        """Whole-stack fused kernel: every layer's conditioner + affine update
-        for a VMEM-resident batch tile in ONE ``pallas_call`` (see
-        ``naz_tpu/ops/pallas/made_stack.py`` for the bandwidth argument)."""
-        from naz_tpu.ops.pallas import fused_made_stack
+    # -- Pallas kernel selection -------------------------------------------
 
+    def _weight_bytes_per_layer(self) -> int:
+        cin = self.context_dim + self.dim
+        widths = [cin, *self.hidden_dims, self.n_param_blocks * self.dim]
+        return 4 * sum(a * b for a, b in zip(widths[:-1], widths[1:]))
+
+    def _pallas_plan(self) -> Tuple[str, int]:
+        """(mode, tile): ``"stack"`` when every layer's weights fit in VMEM
+        together, else ``"layer"`` with a tile sized so the flash-style
+        backward (activations + weight-grad accumulators + one layer's
+        weights twice) stays under the ~16 MB/core VMEM budget."""
+        vmem = 16 * 1024 * 1024
+        w_layer = self._weight_bytes_per_layer()
+        if self.pallas_mode == "stack" or (
+            self.pallas_mode is None and self.n_layers * w_layer <= vmem // 2
+        ):
+            return "stack", self.pallas_tile
+        maxw = max(self.hidden_dims)
+        tile = self.pallas_tile
+        # backward VMEM estimate: stored activations ((n_hidden)x(tile,maxw))
+        # + g_h/g_pre working pairs + weights and their grad accumulators
+        while tile > 128:
+            acts = (len(self.hidden_dims) + 2) * tile * maxw * 4
+            if acts + 2 * w_layer <= vmem and tile <= 1024:
+                break
+            tile //= 2
+        return "layer", tile
+
+    def _one_pass_pallas(self, params, x, context):
+        """Fused conditioner+affine Pallas kernels for the density pass.
+
+        Two shapes of the same idea (``naz_tpu/ops/pallas/made_stack.py``
+        has the bandwidth argument): the whole-stack kernel walks ALL
+        layers for a VMEM-resident batch tile in one ``pallas_call``; the
+        per-layer kernel (``made_fused.py``) scans layers, keeping one
+        layer's weights resident — required once the stacked weights
+        outgrow VMEM (4-param production shape 18x[512]^5 = 75 MB)."""
         interpret = jax.default_backend() == "cpu"
         lo, hi = self.log_scale_clip
         batch_shape = x.shape[:-1]
@@ -234,14 +276,39 @@ class MaskedAutoregressiveFlow:
             if context is not None
             else jnp.zeros(x2.shape[:-1] + (0,), x2.dtype)
         )
-        # pre-masked, in-major weights; biases as (L, 1, out) rows
-        ws = tuple(
-            jnp.transpose(p["w"] * m, (0, 2, 1)) for p, m in zip(params, self.masks)
-        )
-        bs = tuple(p["b"][:, None, :] for p in params)
-        z, ld = fused_made_stack(
-            x2, ctx2, ws, bs, self.dim, lo, hi, self.pallas_tile, interpret,
-            self.pallas_bf16,
+        mode, tile = self._pallas_plan()
+        if mode == "stack":
+            from naz_tpu.ops.pallas import fused_made_stack
+
+            # pre-masked, in-major weights; biases as (L, 1, out) rows
+            ws = tuple(
+                jnp.transpose(p["w"] * m, (0, 2, 1))
+                for p, m in zip(params, self.masks)
+            )
+            bs = tuple(p["b"][:, None, :] for p in params)
+            z, ld = fused_made_stack(
+                x2, ctx2, ws, bs, self.dim, lo, hi, tile, interpret,
+                self.pallas_bf16,
+            )
+            return z.reshape(batch_shape + (self.dim,)), ld.reshape(batch_shape)
+
+        from naz_tpu.ops.pallas import fused_made_affine_layer
+
+        ws = tuple(p["w"] * m for p, m in zip(params, self.masks))
+        bs = tuple(p["b"] for p in params)
+
+        def body(carry, xs):
+            xc, ld = carry
+            wl, bl = xs
+            x_full = jnp.concatenate([ctx2, xc], axis=-1) if ctx2.shape[-1] else xc
+            z, d = fused_made_affine_layer(
+                x_full, tuple(wl), tuple(bl), self.dim, lo, hi, tile,
+                interpret, self.pallas_bf16,
+            )
+            return (z, ld + d), None
+
+        (z, ld), _ = lax.scan(
+            body, (x2, jnp.zeros(x2.shape[0], x2.dtype)), (ws, bs)
         )
         return z.reshape(batch_shape + (self.dim,)), ld.reshape(batch_shape)
 

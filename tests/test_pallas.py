@@ -81,6 +81,47 @@ def test_fused_kernel_under_vmap():
     np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_p), rtol=1e-4, atol=1e-4)
 
 
+def test_per_layer_mode_matches():
+    """pallas_mode='layer' (the production 4-param path where stacked
+    weights outgrow VMEM): forward + grads match the jnp path."""
+    plain, _, params = _pair()
+    layered = MaskedAutoregressiveFlow.create(
+        3, 2, (16, 16), context_dim=2, seed=0,
+        use_pallas=True, pallas_mode="layer", pallas_tile=8, pallas_bf16=False,
+    )
+    assert layered._pallas_plan()[0] == "layer"
+    x = jax.random.normal(jax.random.PRNGKey(2), (21, 3))
+    c = jax.random.normal(jax.random.PRNGKey(3), (21, 2))
+    z_p, ld_p = plain.forward(params, x, context=c)
+    z_f, ld_f = layered.forward(params, x, context=c)
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_p), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_f), np.asarray(ld_p), rtol=1e-5, atol=1e-5)
+
+    def loss(t, p):
+        z, ld = t.forward(p, x, context=c)
+        return jnp.sum(z**2) + 2.0 * jnp.sum(ld)
+
+    g_p = jax.grad(lambda p: loss(plain, p))(params)
+    g_f = jax.grad(lambda p: loss(layered, p))(params)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_plan_auto_selection():
+    """Auto mode: small stacks stay VMEM-resident; production 4-param
+    shape (18x[512]^5, 75 MB of weights) switches to per-layer with a
+    tile that fits the backward under 16 MB."""
+    small = MaskedAutoregressiveFlow.create(
+        2, 16, (150, 150, 150), context_dim=2, use_pallas=True
+    )
+    assert small._pallas_plan() == ("stack", small.pallas_tile)
+    big = MaskedAutoregressiveFlow.create(
+        4, 18, (512,) * 5, context_dim=2, use_pallas=True, pallas_tile=2048
+    )
+    mode, tile = big._pallas_plan()
+    assert mode == "layer" and tile == 512
+
+
 def test_fused_kernel_bf16_close():
     """bf16 MXU mode: same math at bf16 matmul tolerance."""
     plain, _, params = _pair()
