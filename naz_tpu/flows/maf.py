@@ -33,8 +33,32 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+import functools
+
 from naz_tpu.ops.masks import made_masks, random_permutations
 from naz_tpu.ops.masked_dense import made_mlp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_sequential(flow, params, z, context):
+    """Sampling through the fused kernels (inference path); gradients, if
+    ever requested, re-derive through the jnp sequential path."""
+    return flow._sequential_pallas_impl(params, z, context)
+
+
+def _pallas_sequential_fwd(flow, params, z, context):
+    return flow._sequential_pallas_impl(params, z, context), (params, z, context)
+
+
+def _pallas_sequential_bwd(flow, res, g):
+    params, z, context = res
+    _, vjp = jax.vjp(
+        lambda p, zz, cc: flow._sequential_jnp(p, zz, cc), params, z, context
+    )
+    return vjp(g)
+
+
+_pallas_sequential.defvjp(_pallas_sequential_fwd, _pallas_sequential_bwd)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -315,6 +339,23 @@ class MaskedAutoregressiveFlow:
     def _sequential(self, params, z, context, dropout_key=None):
         """latent -> data via dim full-vector passes per layer: solve
         elem_fwd(x, cond(x)) = z by fixed-point iteration in degree order."""
+        if (
+            self.use_pallas
+            and dropout_key is None
+            and self.activation is jnp.tanh
+            and self.compute_dtype is None
+            and type(self) is MaskedAutoregressiveFlow
+            # measured (PERFORMANCE.md): the fused sampler ties XLA at
+            # MXU-aligned widths ("layer" plan) and trails it 2.4x at the
+            # small 150-wide stack shape, so only the layer plan routes
+            # through Pallas (keeps the whole big-model path in-kernel,
+            # regresses nothing)
+            and (self.pallas_mode == "stack" or self._pallas_plan()[0] == "layer")
+        ):
+            return _pallas_sequential(self, params, z, context)
+        return self._sequential_jnp(params, z, context, dropout_key)
+
+    def _sequential_jnp(self, params, z, context, dropout_key=None):
         keys = self._layer_keys(dropout_key)
 
         def body(carry, xs):
@@ -334,6 +375,52 @@ class MaskedAutoregressiveFlow:
         init = (z, jnp.zeros(z.shape[:-1], dtype=z.dtype))
         (x, ld), _ = lax.scan(self._maybe_remat(body), init, (params, self.masks, keys), reverse=True)
         return x, ld
+
+    def _sequential_pallas_impl(self, params, z, context):
+        """Fused sampling kernels: the whole ``dim``-pass fixed-point
+        inversion runs VMEM-resident (``ops/pallas/made_sample.py``) —
+        the PPD-generation hot path (10^6 samples/draw in the reference's
+        calibration study, ``calibrate.py:145-150``)."""
+        interpret = jax.default_backend() == "cpu"
+        lo, hi = self.log_scale_clip
+        batch_shape = z.shape[:-1]
+        z2 = z.reshape(-1, self.dim)
+        ctx2 = (
+            context.reshape(-1, context.shape[-1])
+            if context is not None
+            else jnp.zeros(z2.shape[:-1] + (0,), z2.dtype)
+        )
+        mode, tile = self._pallas_plan()
+        # pre-masked, in-major weights; biases as (L, 1, out) rows
+        ws = tuple(
+            jnp.transpose(p["w"] * m, (0, 2, 1))
+            for p, m in zip(params, self.masks)
+        )
+        bs = tuple(p["b"][:, None, :] for p in params)
+        if mode == "stack":
+            from naz_tpu.ops.pallas import fused_made_sample_stack
+
+            x, ld = fused_made_sample_stack(
+                z2, ctx2, ws, bs, self.dim, lo, hi, tile, interpret,
+                self.pallas_bf16,
+            )
+        else:
+            from naz_tpu.ops.pallas import fused_made_sample_layer
+
+            def body(carry, xs):
+                xc, ld = carry
+                wl, bl = xs
+                x, s_sum = fused_made_sample_layer(
+                    xc, ctx2, tuple(wl), tuple(bl), self.dim, lo, hi, tile,
+                    interpret, self.pallas_bf16,
+                )
+                return (x, ld + s_sum), None
+
+            (x, ld), _ = lax.scan(
+                body, (z2, jnp.zeros(z2.shape[0], z2.dtype)), (ws, bs),
+                reverse=True,
+            )
+        return x.reshape(batch_shape + (self.dim,)), ld.reshape(batch_shape)
 
     # -- public API (honors `invert`) --------------------------------------
 

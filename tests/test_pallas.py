@@ -122,6 +122,60 @@ def test_pallas_plan_auto_selection():
     assert mode == "layer" and tile == 512
 
 
+def test_sample_kernel_stack_matches():
+    """Fused sampling (whole-stack): inverse + logdet match the jnp path,
+    and forward(inverse(z)) round-trips. (Explicit pallas_mode="stack" —
+    the auto plan only routes sampling through Pallas in layer mode.)"""
+    plain, _, params = _pair()
+    fused = MaskedAutoregressiveFlow.create(
+        3, 2, (16, 16), context_dim=2, seed=0,
+        use_pallas=True, pallas_mode="stack", pallas_tile=8, pallas_bf16=False,
+    )
+    z = jax.random.normal(jax.random.PRNGKey(5), (21, 3))
+    c = jax.random.normal(jax.random.PRNGKey(6), (21, 2))
+    x_p, ld_p = plain.inverse(params, z, context=c)
+    x_f, ld_f = fused.inverse(params, z, context=c)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_p), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_f), np.asarray(ld_p), rtol=1e-5, atol=1e-5)
+    z2, ld2 = fused.forward(params, x_f, context=c)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld2), -np.asarray(ld_f), rtol=1e-4, atol=1e-4)
+
+
+def test_sample_kernel_layer_and_unconditional():
+    plain_u, _, params_u = _pair(ctx=0)
+    layered = MaskedAutoregressiveFlow.create(
+        3, 2, (16, 16), context_dim=0, seed=0,
+        use_pallas=True, pallas_mode="layer", pallas_tile=8, pallas_bf16=False,
+    )
+    z = jax.random.normal(jax.random.PRNGKey(7), (13, 3))
+    x_p, ld_p = plain_u.inverse(params_u, z)
+    x_f, ld_f = layered.inverse(params_u, z)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_p), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_f), np.asarray(ld_p), rtol=1e-5, atol=1e-5)
+
+
+def test_sample_kernel_grad_fallback():
+    """Differentiating through the pallas sampling path falls back to the
+    jnp VJP and matches it."""
+    plain, _, params = _pair()
+    fused = MaskedAutoregressiveFlow.create(
+        3, 2, (16, 16), context_dim=2, seed=0,
+        use_pallas=True, pallas_mode="stack", pallas_tile=8, pallas_bf16=False,
+    )
+    z = jax.random.normal(jax.random.PRNGKey(8), (8, 3))
+    c = jax.random.normal(jax.random.PRNGKey(9), (8, 2))
+
+    def loss(t, p):
+        x, ld = t.inverse(p, z, context=c)
+        return jnp.sum(x**2) + jnp.sum(ld)
+
+    g_p = jax.grad(lambda p: loss(plain, p))(params)
+    g_f = jax.grad(lambda p: loss(fused, p))(params)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4)
+
+
 def test_fused_kernel_bf16_close():
     """bf16 MXU mode: same math at bf16 matmul tolerance."""
     plain, _, params = _pair()
