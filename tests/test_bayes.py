@@ -84,3 +84,26 @@ def test_checkpointed_exact_bayesian(tmp_path):
     post = fit_nuts(bf, cfg, checkpoint_dir=str(tmp_path / "ck"), nbatch=20)
     assert post["params_flat"].shape[:2] == (40, 2)
     assert (tmp_path / "ck" / "mcmc_state.npz").exists()
+
+
+def test_exact_bayesian_over_spline_flow():
+    """BayesianFlow is flow-family agnostic: exact NUTS over the weights of
+    a neural-spline AR flow (the reference's Bayesian path was MAF-only —
+    bflow_jax_maf.py reimplements just the MAF)."""
+    from naz_tpu.flows import nsa_flow
+
+    key = jax.random.PRNGKey(0)
+    x = 0.6 * jax.random.normal(key, (256, 2)) + jnp.array([0.3, -0.1])
+    flow = nsa_flow(2, n_layers=2, hidden_dims=(8,), count_bins=4, seed=0)
+    res = train_mle(
+        flow, x, config=MLEConfig(lr=5e-3, max_epochs=60, batch_frac=0.5, patience=20)
+    )
+    bf = BayesianFlow(make_flow_loglik(flow, x), res.params, scale_max=0.02)
+    post = fit_nuts(
+        bf,
+        MCMCRunConfig(num_warmup=40, num_samples=40, num_chains=2, seed=0,
+                      max_depth=6),
+    )
+    assert post["params_flat"].shape[:2] == (40, 2)
+    assert np.isfinite(np.asarray(post["log_likelihood"])).all()
+    assert float(post["diagnostics"]["divergence_fraction"]) < 0.5

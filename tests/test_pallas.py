@@ -176,6 +176,26 @@ def test_sample_kernel_grad_fallback():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4)
 
 
+def test_layer_mode_under_vmap():
+    """Layer-mode density AND sampling batch correctly under vmap over
+    params — the HMC chain-execution pattern."""
+    plain, _, params = _pair()
+    layered = MaskedAutoregressiveFlow.create(
+        3, 2, (16, 16), context_dim=2, seed=0,
+        use_pallas=True, pallas_mode="layer", pallas_tile=8, pallas_bf16=False,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 3))
+    c = jax.random.normal(jax.random.PRNGKey(3), (8, 2))
+    batched = jax.tree.map(lambda p: jnp.stack([p, p + 0.01]), params)
+    lp_p = jax.vmap(lambda p: plain.forward(p, x, context=c)[1])(batched)
+    lp_f = jax.vmap(lambda p: layered.forward(p, x, context=c)[1])(batched)
+    np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_p), rtol=1e-4, atol=1e-4)
+    z = jax.random.normal(jax.random.PRNGKey(4), (8, 3))
+    xs_p = jax.vmap(lambda p: plain.inverse(p, z, context=c)[0])(batched)
+    xs_f = jax.vmap(lambda p: layered.inverse(p, z, context=c)[0])(batched)
+    np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_p), rtol=1e-4, atol=1e-4)
+
+
 def test_fused_kernel_bf16_close():
     """bf16 MXU mode: same math at bf16 matmul tolerance."""
     plain, _, params = _pair()
