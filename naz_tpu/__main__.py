@@ -165,6 +165,23 @@ def main(argv=None):
     sp.add_argument("--evidence-samples", type=int, default=1000)
     sp.add_argument("--out", required=True)
 
+    vp = sub.add_parser(
+        "evidence",
+        help="stepping-stone/TI log-evidence over power posteriors "
+        "(stable where the reference's prior-proposal IS collapses)",
+    )
+    _add_flow_args(vp)
+    vp.add_argument("--data", required=True)
+    vp.add_argument("--fthin", type=int, default=1)
+    vp.add_argument("--mle-params", required=True)
+    vp.add_argument("--sigma", type=float, default=1.0)
+    vp.add_argument("--prior", default="uniform")
+    vp.add_argument("--n-temps", type=int, default=16)
+    vp.add_argument("--num-warmup", type=int, default=300)
+    vp.add_argument("--num-samples", type=int, default=100)
+    vp.add_argument("--num-chains", type=int, default=4)
+    vp.add_argument("--out", default=None, help="optional JSON output path")
+
     cp = sub.add_parser(
         "calibrate",
         help="posterior-predictive coverage curves (reference calibrate.py)",
@@ -646,6 +663,33 @@ def main(argv=None):
         )
         print(json.dumps({k: v.tolist() if hasattr(v, "tolist") else v
                           for k, v in post["diagnostics"].items()}))
+        return 0
+
+    if args.cmd == "evidence":
+        from naz_tpu.bayes import SteppingStoneConfig, stepping_stone_evidence
+
+        ev = stepping_stone_evidence(
+            bf,
+            SteppingStoneConfig(
+                n_temps=args.n_temps,
+                num_warmup=args.num_warmup,
+                num_samples=args.num_samples,
+                num_chains=args.num_chains,
+                seed=args.seed,
+                verbose=True,
+            ),
+        )
+        out = {
+            "log_evidence": ev.log_evidence,
+            "log_evidence_ti": ev.log_evidence_ti,
+            "betas": ev.betas.tolist(),
+            "mean_log_l": ev.mean_log_l.tolist(),
+            "per_step_ess": ev.per_step_ess.tolist(),
+        }
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(out, f)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "svi":
