@@ -49,7 +49,7 @@ def main(argv=None):
     p.add_argument("--hidden", type=int, nargs="+", default=[64, 64])
     p.add_argument(
         "--production", action="store_true",
-        help="reference shape: 18 layers x [512]^5 (2.4M-weight class)",
+        help="reference shape: 18 layers x [512]^5 (~19M weights)",
     )
     p.add_argument("--use-pallas", action="store_true")
     p.add_argument("--compute-dtype", default=None, choices=[None, "bfloat16"])

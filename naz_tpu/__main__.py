@@ -82,6 +82,38 @@ def _build_flow(args, theta, lam):
     ).build()
 
 
+def _even_thin(pf, max_draws):
+    """Thin posterior draws evenly across the whole chain (a prefix or
+    strided prefix would over-weight the most warmup-correlated draws)."""
+    pf = np.asarray(pf)
+    pf = pf.reshape(-1, pf.shape[-1])
+    if len(pf) > max_draws:
+        idx = np.linspace(0, len(pf) - 1, max_draws).astype(int)
+        pf = pf[idx]
+    return pf
+
+
+def _posterior_setup(args, thin=1, context_index=0):
+    """Shared calibrate/predict/plot setup: held-out data, conditioning
+    context, flow and its unravel fn."""
+    import jax
+    from jax.flatten_util import ravel_pytree
+    from naz_tpu.data import load_training_h5
+
+    d = load_training_h5(args.data, thin=thin)
+    theta_true = np.asarray(d.get("test_theta", d["train_theta"]), dtype=np.float32)
+    lam = d.get("test_lambda", d.get("train_lambda"))
+    # the reference conditions the PPD on the held-out grid point
+    # (calibrate.py:144-150) — one lambda row
+    context = None if lam is None else np.asarray(lam, np.float32)[context_index]
+    flow = _build_flow(
+        args, theta_true, None if context is None else context[None, :]
+    )
+    template = flow.init_params(jax.random.PRNGKey(args.seed))
+    _, unravel = ravel_pytree(template)
+    return theta_true, context, flow, template, unravel
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="naz_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -180,6 +212,12 @@ def main(argv=None):
     vp.add_argument("--num-warmup", type=int, default=300)
     vp.add_argument("--num-samples", type=int, default=100)
     vp.add_argument("--num-chains", type=int, default=4)
+    vp.add_argument(
+        "--chain-exec", default="map", choices=["map", "vmap"],
+        help="chain execution per rung: sequential 'map' (production "
+        "scale — one chain saturates the chip) or batched 'vmap' (small "
+        "models)",
+    )
     vp.add_argument("--out", default=None, help="optional JSON output path")
 
     cp = sub.add_parser(
@@ -261,33 +299,11 @@ def main(argv=None):
 
     if args.cmd == "calibrate":
         import jax
-        from jax.flatten_util import ravel_pytree
-        from naz_tpu.data import load_training_h5
         from naz_tpu.stats.calibrate import calibration_curve
         from naz_tpu.stats.plotting import plot_calibration
 
-        d = load_training_h5(args.data)
-        theta_true = np.asarray(
-            d.get("test_theta", d["train_theta"]), dtype=np.float32
-        )
-        lam = d.get("test_lambda", d.get("train_lambda"))
-        # the reference conditions the PPD on the held-out grid point
-        # (calibrate.py:144-150) — one lambda row
-        context = None if lam is None else np.asarray(lam, np.float32)[0]
-
-        flow = _build_flow(
-            args,
-            theta_true,
-            None if context is None else context[None, :],
-        )
-        template = flow.init_params(jax.random.PRNGKey(args.seed))
-        _, unravel = ravel_pytree(template)
-
-        post = np.load(args.posterior)
-        pf = np.asarray(post["params_flat"])
-        pf = pf.reshape(-1, pf.shape[-1])
-        if len(pf) > args.max_draws:
-            pf = pf[:: max(1, len(pf) // args.max_draws)][: args.max_draws]
+        theta_true, context, flow, _, unravel = _posterior_setup(args)
+        pf = _even_thin(np.load(args.posterior)["params_flat"], args.max_draws)
         params_draws = jax.vmap(unravel)(jax.numpy.asarray(pf))
 
         cs = np.linspace(args.cs[0], args.cs[1], int(args.cs[2]))
@@ -316,7 +332,7 @@ def main(argv=None):
             try:
                 ax = plot_calibration(cs, cov, labels=[f"nq={nq}"])
                 ax.figure.savefig(f"{args.out}_nq{nq}.png", dpi=120)
-            except Exception as e:  # matplotlib optional
+            except ImportError as e:  # matplotlib optional
                 print(f"plot skipped: {e}", file=sys.stderr)
         print(
             json.dumps(
@@ -327,38 +343,17 @@ def main(argv=None):
 
     if args.cmd in ("predict", "plot"):
         import jax
-        from jax.flatten_util import ravel_pytree
-        from naz_tpu.data import load_training_h5
         from naz_tpu.io.checkpoint import load_pytree
         from naz_tpu.stats.calibrate import posterior_predictive
 
-        d = load_training_h5(args.data, thin=args.fthin)
-        theta_true = np.asarray(
-            d.get("test_theta", d["train_theta"]), dtype=np.float32
+        theta_true, context, flow, template, unravel = _posterior_setup(
+            args, thin=args.fthin, context_index=args.context_index
         )
-        lam = d.get("test_lambda", d.get("train_lambda"))
-        context = (
-            None if lam is None
-            else np.asarray(lam, np.float32)[args.context_index]
-        )
-
-        flow = _build_flow(
-            args, theta_true, None if context is None else context[None, :]
-        )
-        template = flow.init_params(jax.random.PRNGKey(args.seed))
-        _, unravel = ravel_pytree(template)
         key = jax.random.PRNGKey(args.seed)
-
-        def _thin_flat(pf):
-            pf = np.asarray(pf)
-            pf = pf.reshape(-1, pf.shape[-1])
-            if len(pf) > args.max_draws:
-                pf = pf[:: max(1, len(pf) // args.max_draws)][: args.max_draws]
-            return pf
 
         post_ppd = prior_ppd = None
         if args.posterior:
-            pf = _thin_flat(np.load(args.posterior)["params_flat"])
+            pf = _even_thin(np.load(args.posterior)["params_flat"], args.max_draws)
             params_draws = jax.vmap(unravel)(jax.numpy.asarray(pf))
             post_ppd = np.asarray(
                 posterior_predictive(
@@ -454,13 +449,17 @@ def main(argv=None):
                 written.append(f)
             if dim == 2:
                 # per-draw 2-D histogram densities -> median density map;
-                # overlay its level contour vs the truth histogram's
+                # overlay its level contour vs the truth histogram's.
+                # Normalize by TOTAL draw count (not density=True, which
+                # renormalizes over in-range mass only and inflates draws
+                # whose mass falls outside the truth's range).
+                area = np.outer(np.diff(edges[0]), np.diff(edges[1]))
                 hists = np.stack(
                     [
                         np.histogram2d(
-                            s[:, 0], s[:, 1], bins=[edges[0], edges[1]],
-                            density=True,
+                            s[:, 0], s[:, 1], bins=[edges[0], edges[1]]
                         )[0]
+                        / (len(s) * area)
                         for s in post_ppd
                     ]
                 )
@@ -482,7 +481,7 @@ def main(argv=None):
                 f = f"{args.out}_contour.png"
                 ax.figure.savefig(f, dpi=120)
                 written.append(f)
-        except Exception as e:  # matplotlib optional
+        except ImportError as e:  # matplotlib optional
             print(f"plot skipped: {e}", file=sys.stderr)
         print(json.dumps({"written": written}))
         return 0
@@ -675,6 +674,7 @@ def main(argv=None):
                 num_warmup=args.num_warmup,
                 num_samples=args.num_samples,
                 num_chains=args.num_chains,
+                chain_exec=args.chain_exec,
                 seed=args.seed,
                 verbose=True,
             ),

@@ -75,6 +75,8 @@ def stepping_stone_evidence(
     """
     bf = bayes_flow
     K = cfg.n_temps
+    if K < 2:
+        raise ValueError(f"n_temps must be >= 2 (prior and posterior), got {K}")
     betas = (np.arange(K, dtype=np.float64) / (K - 1)) ** cfg.schedule_power
 
     def make_potential(beta):
@@ -139,7 +141,8 @@ def stepping_stone_evidence(
         wn = np.exp(w - m)
         ess.append(float(wn.sum() ** 2 / (wn**2).sum()))
     mean_ll = ll_mat.mean(axis=1)
-    log_z_ti = float(np.trapezoid(mean_ll, betas))
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz  # numpy<2 compat
+    log_z_ti = float(trapezoid(mean_ll, betas))
     return PowerEvidenceResult(
         log_evidence=float(np.sum(log_ratios)),
         log_evidence_ti=log_z_ti,

@@ -112,8 +112,16 @@ def marginal_density_draws(samples, edges):
     out = []
     for j in range(samples.shape[-1]):
         e = np.asarray(edges[j])
+        # normalize by the TOTAL sample count, not density=True: the grid
+        # spans the truth's range, and a draw whose mass mostly falls
+        # outside it must plot as near-flat, not be renormalized over the
+        # in-range remainder (matters for weak prior-predictive bands)
+        width = np.diff(e)
         dens = np.stack(
-            [np.histogram(s, bins=e, density=True)[0] for s in samples[..., j]]
+            [
+                np.histogram(s, bins=e)[0] / (s.shape[0] * width)
+                for s in samples[..., j]
+            ]
         )
         out.append(dens)
     return out

@@ -48,7 +48,8 @@ def test_prior_log_density_normalization_1d():
     # numeric integral of the truncnorm density over (-1,1) ~ 1
     bf = _bf("truncnorm")
     vals = np.exp([float(bf.log_prior_standard(jnp.array([v]))) for v in g])
-    integral = np.trapezoid(vals, g)
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz
+    integral = trapezoid(vals, g)
     assert abs(integral - 1.0) < 1e-2, integral
 
 
