@@ -6,6 +6,7 @@ from naz_tpu.stats.statutils import (
 )
 from naz_tpu.stats.model_comparison import compute_bic, amplification
 from naz_tpu.stats.calibrate import calibrate, calibration_curve, posterior_predictive
+from naz_tpu.stats.sbc import rank_uniformity, sbc_ranks
 
 __all__ = [
     "hpd",
@@ -17,4 +18,6 @@ __all__ = [
     "calibrate",
     "calibration_curve",
     "posterior_predictive",
+    "sbc_ranks",
+    "rank_uniformity",
 ]

@@ -12,9 +12,8 @@ All replications run as ONE vmapped program (chains axis = replications).
 import numpy as np
 import jax
 import jax.numpy as jnp
-from scipy import stats as sps
-
 from naz_tpu.mcmc.run import MCMCRunConfig, init_chains, sample_nuts, warmup_nuts
+from naz_tpu.stats import rank_uniformity, sbc_ranks
 
 
 def test_sbc_rank_uniformity():
@@ -55,15 +54,10 @@ def test_sbc_rank_uniformity():
     # thin by 2 to decorrelate
     draws = draws[:, ::2][:, :L]
 
-    ranks = (draws < np.asarray(theta_true)[:, None]).sum(axis=1)
-    # chi-squared uniformity on 8 rank bins
-    bins = np.linspace(0, L + 1, 9)
-    counts, _ = np.histogram(ranks, bins=bins)
-    expected = n_rep / 8
-    chi2 = ((counts - expected) ** 2 / expected).sum()
-    # df=7; reject only at p < 0.001 to keep the test stable
-    crit = sps.chi2.ppf(0.999, df=7)
-    assert chi2 < crit, (chi2, counts)
+    ranks = sbc_ranks(theta_true, draws)
+    # reject only at p < 0.001 to keep the test stable
+    p, chi2, counts = rank_uniformity(ranks, L, n_bins=8)
+    assert p > 1e-3, (p, chi2, counts)
     # posterior mean must match the analytic posterior mean
     post_mean_analytic = np.asarray(jnp.sum(y, axis=1) / (n_obs + 1))
     np.testing.assert_allclose(
@@ -100,12 +94,8 @@ def test_sbc_rank_uniformity_chees():
     draws = np.asarray(out["samples"])[:, 0, :]  # chain 0: (2L, n_rep)
     draws = draws[::2][:L]
 
-    ranks = (draws < np.asarray(theta_true)[None, :]).sum(axis=0)
-    bins = np.linspace(0, L + 1, 9)
-    counts, _ = np.histogram(ranks, bins=bins)
-    expected = n_rep / 8
-    chi2 = ((counts - expected) ** 2 / expected).sum()
-    crit = sps.chi2.ppf(0.999, df=7)
-    assert chi2 < crit, (chi2, counts)
+    ranks = sbc_ranks(theta_true, draws.T)
+    p, chi2, counts = rank_uniformity(ranks, L, n_bins=8)
+    assert p > 1e-3, (p, chi2, counts)
     post_mean_analytic = np.asarray(y_sum / (n_obs + 1))
     np.testing.assert_allclose(draws.mean(axis=0), post_mean_analytic, atol=0.35)

@@ -71,3 +71,30 @@ def test_amplification():
     ens = base[None] + 0.1 * rng.normal(size=(50, 8, 8))
     t = float(amplification(ens))
     assert 100 < t < 500  # (mean/std)^2 ~ (1.5/0.1)^2 = 225
+
+
+def test_sbc_rank_utilities():
+    """sbc_ranks + rank_uniformity: calibrated draws pass, biased fail."""
+    from naz_tpu.stats import rank_uniformity, sbc_ranks
+
+    rng = np.random.default_rng(0)
+    R, L = 256, 63
+    # calibrated: true and draws from the SAME distribution
+    theta = rng.normal(size=R)
+    draws = rng.normal(size=(R, L))
+    ranks = sbc_ranks(theta, draws)
+    assert ranks.shape == (R,) and ranks.min() >= 0 and ranks.max() <= L
+    p, chi2, counts = rank_uniformity(ranks, L, n_bins=8)
+    assert p > 1e-3 and counts.sum() == R
+    # biased: posterior draws systematically offset
+    ranks_bad = sbc_ranks(theta, draws - 1.5)
+    p_bad, _, _ = rank_uniformity(ranks_bad, L, n_bins=8)
+    assert p_bad < 1e-6
+    # multi-dim shape handling
+    theta2 = rng.normal(size=(R, 3))
+    draws2 = rng.normal(size=(R, L, 3))
+    r2 = sbc_ranks(theta2, draws2)
+    assert r2.shape == (R, 3)
+    # bin count auto-adjusts to divide L+1 evenly
+    p3, _, c3 = rank_uniformity(r2, L)
+    assert np.isfinite(p3) and (L + 1) % len(c3) == 0
