@@ -22,3 +22,34 @@ Reference capability map: see SURVEY.md at the repo root.
 __version__ = "0.1.0"
 
 from naz_tpu.flows import Flow, MaskedAutoregressiveFlow  # noqa: F401
+
+# Subpackages import lazily so `import naz_tpu` stays light (no h5py/
+# matplotlib/optax pulls) while `naz_tpu.bayes.fit_nuts` etc. still resolve.
+_SUBMODULES = (
+    "bayes",
+    "compat",
+    "config",
+    "data",
+    "distributions",
+    "flows",
+    "io",
+    "mcmc",
+    "nn",
+    "ops",
+    "parallel",
+    "stats",
+    "train",
+    "utils",
+)
+
+
+def __getattr__(name):
+    if name in _SUBMODULES:
+        import importlib
+
+        return importlib.import_module(f"naz_tpu.{name}")
+    raise AttributeError(f"module 'naz_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_SUBMODULES))

@@ -123,3 +123,27 @@ def test_chain_sharded_chees_runs_and_matches_moments():
     assert abs(out_sharded["traj_len"] - out_plain["traj_len"]) < 0.5 * max(
         out_plain["traj_len"], 1.0
     )
+
+
+def test_sharded_loglik_composes_with_pallas():
+    """Data-sharded likelihood (shard_map over the mesh) with the fused
+    Pallas layer kernel inside — the big-model multi-chip configuration."""
+    import jax
+    import jax.numpy as jnp
+
+    from naz_tpu.flows import maf_flow
+    from naz_tpu.parallel import make_mesh, sharded_loglik
+
+    mesh = make_mesh(1, 8)
+    flow_p = maf_flow(
+        2, n_layers=2, hidden_dims=(16,), context_dim=2, seed=0,
+        use_pallas=True, pallas_mode="layer", pallas_tile=8,
+        pallas_bf16=False,
+    )
+    flow_j = maf_flow(2, n_layers=2, hidden_dims=(16,), context_dim=2, seed=0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 2))
+    c = jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+    params = flow_p.init_params(jax.random.PRNGKey(2))
+    v_p = jax.jit(lambda p: sharded_loglik(flow_p, x, context=c, mesh=mesh)(p).sum())(params)
+    v_j = jax.jit(lambda p: sharded_loglik(flow_j, x, context=c, mesh=mesh)(p).sum())(params)
+    assert abs(float(v_p) - float(v_j)) < 1e-3
