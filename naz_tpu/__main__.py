@@ -179,6 +179,20 @@ def main(argv=None):
         "vmapped chains; supports --chckpt)",
     )
     hp.add_argument(
+        "--steps-per-program", type=int, default=8,
+        help="MCMC transitions per device program. Remote TPU workers kill "
+        "programs that run longer than a few minutes; at production scale "
+        "(190k points) early-warmup trajectories can hit the leapfrog cap, "
+        "so keep chunks small (worst-case chunk cost ~ this x chains x "
+        "max-leapfrogs x ms/grad)",
+    )
+    hp.add_argument(
+        "--max-leapfrogs", type=int, default=256,
+        help="hard cap on leapfrog steps per ChEES trajectory (chees only; "
+        "NUTS uses 2^--max-depth)",
+    )
+    hp.add_argument("--max-depth", type=int, default=10, help="NUTS tree depth cap")
+    hp.add_argument(
         "--trace", default=None,
         help="capture a jax.profiler device trace of the run into this "
         "directory (TensorBoard/Perfetto)",
@@ -634,6 +648,9 @@ def main(argv=None):
                     num_chains=args.num_chains,
                     seed=args.seed,
                     chain_exec=args.chain_exec,
+                    steps_per_program=args.steps_per_program,
+                    max_leapfrogs=args.max_leapfrogs,
+                    verbose=True,
                 ),
                 fast_potential=fast_potential,
                 checkpoint_dir=args.chckpt,
@@ -651,6 +668,9 @@ def main(argv=None):
                     seed=args.seed,
                     chain_exec=args.chain_exec,
                     kernel=args.kernel,
+                    steps_per_program=args.steps_per_program,
+                    max_depth=args.max_depth,
+                    verbose=True,
                 ),
                 checkpoint_dir=args.chckpt,
             )
