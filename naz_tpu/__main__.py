@@ -232,6 +232,11 @@ def main(argv=None):
         "scale — one chain saturates the chip) or batched 'vmap' (small "
         "models)",
     )
+    vp.add_argument(
+        "--steps-per-program", type=int, default=8,
+        help="MCMC transitions per device program (see hmc --steps-per-program)",
+    )
+    vp.add_argument("--max-depth", type=int, default=8, help="NUTS tree depth cap")
     vp.add_argument("--out", default=None, help="optional JSON output path")
 
     cp = sub.add_parser(
@@ -654,6 +659,7 @@ def main(argv=None):
                 ),
                 fast_potential=fast_potential,
                 checkpoint_dir=args.chckpt,
+                lean=True,
             )
         else:
             from naz_tpu.bayes import fit_nuts
@@ -673,6 +679,7 @@ def main(argv=None):
                     verbose=True,
                 ),
                 checkpoint_dir=args.chckpt,
+                lean=True,
             )
         _stack.close()  # flush the profiler trace before writing outputs
         np.savez(
@@ -695,6 +702,8 @@ def main(argv=None):
                 num_samples=args.num_samples,
                 num_chains=args.num_chains,
                 chain_exec=args.chain_exec,
+                steps_per_program=args.steps_per_program,
+                max_depth=args.max_depth,
                 seed=args.seed,
                 verbose=True,
             ),

@@ -80,6 +80,15 @@ def stepping_stone_evidence(
     betas = (np.arange(K, dtype=np.float64) / (K - 1)) ** cfg.schedule_power
 
     def make_potential(beta):
+        if beta == 0.0:
+            # prior rung: skip the likelihood entirely (XLA would still
+            # evaluate the full data pass under a 0-weight)
+            def pot(u):
+                c = bf.constrain(u)
+                return -(c["log_det"] + c["log_prior"])
+
+            return pot
+
         def pot(u):
             c = bf.constrain(u)
             ll = bf.log_likelihood_flat(c["params_flat"])

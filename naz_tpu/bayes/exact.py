@@ -20,12 +20,33 @@ from naz_tpu.mcmc.diagnostics import effective_sample_size, split_rhat
 from naz_tpu.mcmc.run import MCMCRunConfig, run_nuts, run_nuts_checkpointed
 
 
+def _loglik_of_draws(bayes_flow, u, chunk: int = 8):
+    """Per-draw data log-likelihood, computed device-side straight from the
+    unconstrained draws (no host round-trip of the flat weights — at
+    production scale those are gigabytes over a remote tunnel). Chunked: a
+    vmap over all draws would materialize (draws x N x hidden) activations
+    and blow HBM at reference scale."""
+    ll_fn = jax.jit(
+        jax.vmap(
+            lambda uu: bayes_flow.log_likelihood_flat(
+                bayes_flow.constrain(uu)["params_flat"]
+            )
+        )
+    )
+    u2 = jnp.asarray(u).reshape(-1, u.shape[-1])
+    lls = []
+    for s in range(0, u2.shape[0], chunk):
+        lls.append(np.asarray(ll_fn(u2[s : s + chunk])))
+    return jnp.asarray(np.concatenate(lls).reshape(u.shape[:-1]))
+
+
 def fit_nuts(
     bayes_flow: BayesianFlow,
     cfg: MCMCRunConfig = MCMCRunConfig(),
     checkpoint_dir: Optional[str] = None,
     nbatch: int = 100,
     init_jitter: float = 0.1,
+    lean: bool = False,
 ) -> dict:
     """Sample the weight posterior with NUTS.
 
@@ -33,7 +54,9 @@ def fit_nuts(
     ``params_flat``, unraveled ``params``) of shape ``(num_samples,
     num_chains, ...)`` plus sampler statistics and summary diagnostics
     (split-R̂ / ESS on a diagnostic projection of the weight space and on the
-    log-likelihood trace).
+    log-likelihood trace). ``lean=True`` skips the ``standard`` and
+    unraveled ``params`` outputs (each another full-posterior copy of
+    device->host traffic; the flat layout serves all downstream consumers).
     """
     q0 = bayes_flow.init_positions(
         jax.random.PRNGKey(cfg.seed + 1), cfg.num_chains, jitter=init_jitter
@@ -57,20 +80,12 @@ def fit_nuts(
             "warmup_grad_evals": int(winfo.num_grad_evals),
         }
 
-    out = bayes_flow.posterior_params(u)
+    out = bayes_flow.posterior_params(u, lean=lean)
 
     # diagnostics on a cheap projection: the log-likelihood trace and the
     # first few weight coordinates (full per-weight R̂ on 10^5-10^6 weights
     # is possible but rarely wanted; expose the draws so callers can).
-    # Chunked: a vmap over all draws would materialize (draws x N x hidden)
-    # activations and blow HBM at reference scale.
-    flat = np.asarray(out["params_flat"])
-    flat2 = flat.reshape(-1, flat.shape[-1])
-    ll_fn = jax.jit(jax.vmap(bayes_flow.log_likelihood_flat))
-    lls = []
-    for s in range(0, flat2.shape[0], 8):
-        lls.append(np.asarray(ll_fn(jnp.asarray(flat2[s : s + 8]))))
-    ll = jnp.asarray(np.concatenate(lls).reshape(flat.shape[:-1]))
+    ll = _loglik_of_draws(bayes_flow, u)
     out["log_likelihood"] = ll
     k = min(8, u.shape[-1])
     diag_axis = jnp.concatenate([ll[..., None], u[..., :k]], axis=-1)
@@ -92,6 +107,7 @@ def fit_chees(
     fast_potential=None,
     checkpoint_dir: Optional[str] = None,
     nbatch: int = 100,
+    lean: bool = False,
 ) -> dict:
     """Sample the weight posterior with ChEES-HMC (cross-chain adaptive
     trajectory length; ``naz_tpu.mcmc.chees``). Same return layout as
@@ -128,14 +144,8 @@ def fit_chees(
         res = run_chees(bayes_flow.potential, q0, cfg, fast_potential=fast_potential)
     u = jnp.asarray(res["samples"])  # (draws, chains, dim)
 
-    out = bayes_flow.posterior_params(u)
-    flat = np.asarray(out["params_flat"])
-    flat2 = flat.reshape(-1, flat.shape[-1])
-    ll_fn = jax.jit(jax.vmap(bayes_flow.log_likelihood_flat))
-    lls = []
-    for s in range(0, flat2.shape[0], 8):
-        lls.append(np.asarray(ll_fn(jnp.asarray(flat2[s : s + 8]))))
-    ll = jnp.asarray(np.concatenate(lls).reshape(flat.shape[:-1]))
+    out = bayes_flow.posterior_params(u, lean=lean)
+    ll = _loglik_of_draws(bayes_flow, u)
     out["log_likelihood"] = ll
     k = min(8, u.shape[-1])
     diag_axis = jnp.concatenate([ll[..., None], u[..., :k]], axis=-1)

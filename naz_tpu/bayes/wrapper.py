@@ -225,7 +225,7 @@ class BayesianFlow:
 
     # -- posterior post-processing ----------------------------------------
 
-    def posterior_params(self, u_samples, chunk: int = 64):
+    def posterior_params(self, u_samples, chunk: int = 64, lean: bool = False):
         """Map (..., dim) unconstrained draws to constrained posteriors.
 
         Returns dict with ``standard``, ``scale``, ``params_flat`` and
@@ -235,6 +235,14 @@ class BayesianFlow:
         ``chunk``-sized slices and land as host (numpy) arrays — a full
         weight posterior (10^3 draws x 10^6 weights x several outputs) does
         not fit in HBM at once.
+
+        ``lean=True`` returns only ``scale`` and ``params_flat``: at
+        production scale each full-size output is gigabytes of
+        device->host traffic (measured: the extra ``standard`` +
+        unraveled ``params`` copies dominated a posterior run's wall
+        clock on a remote-tunnel TPU), and everything downstream
+        (sampling, log-likelihoods, checkpoints) consumes the flat
+        layout; unravel on demand with ``self.unravel``.
         """
         import numpy as np
 
@@ -242,27 +250,32 @@ class BayesianFlow:
         lead = u.shape[:-1]
         u2 = u.reshape((-1, u.shape[-1]))
 
-        fn = jax.jit(
-            lambda uu: (
-                lambda c: (c, jax.vmap(self._unravel)(c["params_flat"]))
-            )(jax.vmap(self.constrain)(uu))
-        )
+        def _constrain(uu):
+            c = jax.vmap(self.constrain)(uu)
+            if lean:
+                return {"scale": c["scale"], "params_flat": c["params_flat"]}, None
+            return c, jax.vmap(self._unravel)(c["params_flat"])
+
+        fn = jax.jit(_constrain)
         cs, ps = [], []
         for s in range(0, u2.shape[0], chunk):
             c, params = fn(jnp.asarray(u2[s : s + chunk]))
             cs.append(jax.tree.map(np.asarray, c))
-            ps.append(jax.tree.map(np.asarray, params))
+            if not lean:
+                ps.append(jax.tree.map(np.asarray, params))
         c = {
             k: np.concatenate([x[k] for x in cs], axis=0)
             for k in cs[0]
             if k not in ("log_det", "log_prior")
         }
-        params = jax.tree.map(lambda *a: np.concatenate(a, axis=0), *ps)
-        return {
-            "standard": c["standard"].reshape(lead + (-1,)),
+        out = {
             "scale": c["scale"].reshape(lead + c["scale"].shape[1:]),
             "params_flat": c["params_flat"].reshape(lead + (-1,)),
-            "params": jax.tree.map(
-                lambda a: a.reshape(lead + a.shape[1:]), params
-            ),
         }
+        if not lean:
+            params = jax.tree.map(lambda *a: np.concatenate(a, axis=0), *ps)
+            out["standard"] = c["standard"].reshape(lead + (-1,))
+            out["params"] = jax.tree.map(
+                lambda a: a.reshape(lead + a.shape[1:]), params
+            )
+        return out
