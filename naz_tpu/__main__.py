@@ -173,6 +173,11 @@ def main(argv=None):
     )
     hp.add_argument("--chckpt", default=None, help="checkpoint dir (resumable)")
     hp.add_argument(
+        "--nbatch", type=int, default=100,
+        help="with --chckpt: draws per checkpoint batch (state + posterior "
+        "land on disk after every batch; a killed run resumes exactly)",
+    )
+    hp.add_argument(
         "--kernel", default="nuts", choices=["nuts", "hmc", "chees"],
         help="transition kernel: NUTS (default), fixed-length HMC, or "
         "ChEES-HMC (cross-chain adaptive trajectories; best with many "
@@ -659,6 +664,7 @@ def main(argv=None):
                 ),
                 fast_potential=fast_potential,
                 checkpoint_dir=args.chckpt,
+                nbatch=args.nbatch,
                 lean=True,
             )
         else:
@@ -679,6 +685,7 @@ def main(argv=None):
                     verbose=True,
                 ),
                 checkpoint_dir=args.chckpt,
+                nbatch=args.nbatch,
                 lean=True,
             )
         _stack.close()  # flush the profiler trace before writing outputs
