@@ -319,6 +319,30 @@ def main(argv=None):
     bp.add_argument("--posterior", required=True, help="npz with log_likelihood")
     bp.add_argument("--out", default=None, help="optional JSON output path")
 
+    kp = sub.add_parser(
+        "kde-bands",
+        help="per-draw KDE pdfs of one PPD feature + HPD uncertainty band "
+        "(the reference's bayesian_amplification_kde.ipynb analysis: "
+        "scipy KDE per draw -> trapz-normalize -> HPD fill-between)",
+    )
+    kp.add_argument("--ppd", required=True,
+                    help="npz from `predict` (key ppd, (draws, samples, dim))")
+    kp.add_argument("--feature", type=int, default=0,
+                    help="feature column to marginalize onto")
+    kp.add_argument("--grid", type=float, nargs=3, default=None,
+                    metavar=("START", "STOP", "NUM"),
+                    help="evaluation grid (default: data range, 100 points)")
+    kp.add_argument("--lo", type=float, default=None,
+                    help="reflect KDE mass at this lower bound")
+    kp.add_argument("--hi", type=float, default=None,
+                    help="reflect KDE mass at this upper bound")
+    kp.add_argument("--alpha", type=float, default=0.1,
+                    help="HPD band level (0.1 -> 90%% band)")
+    kp.add_argument("--max-draws", type=int, default=512)
+    kp.add_argument("--data", default=None,
+                    help="optional h5; overlays a KDE of test_theta truth")
+    kp.add_argument("--out", required=True, help="output prefix (txt + png)")
+
     args = p.parse_args(argv)
 
     if args.cmd == "calibrate":
@@ -530,6 +554,73 @@ def main(argv=None):
             with open(args.out, "w") as f:
                 json.dump(out, f)
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "kde-bands":
+        from naz_tpu.stats import gaussian_kde_pdf, ppd_kde_bands
+
+        ppd = np.load(args.ppd)["ppd"]  # (draws, samples, dim)
+        feat = ppd[..., args.feature]
+        if len(feat) > args.max_draws:
+            idx = np.linspace(0, len(feat) - 1, args.max_draws).astype(int)
+            feat = feat[idx]
+        if args.grid is not None:
+            grid = np.linspace(args.grid[0], args.grid[1], int(args.grid[2]))
+        else:
+            lo = args.lo if args.lo is not None else feat.min()
+            hi = args.hi if args.hi is not None else feat.max()
+            grid = np.linspace(lo, hi, 100)
+        pdfs, band = ppd_kde_bands(
+            feat, grid, alpha=args.alpha, lo=args.lo, hi=args.hi
+        )
+        med = np.median(pdfs, axis=0)
+        cols = [grid, band[0], band[1], med]
+        header = "grid band_lo band_hi median"
+        truth_pdf = None
+        if args.data:
+            from naz_tpu.data import load_training_h5
+
+            d = load_training_h5(args.data)
+            truth = np.asarray(
+                d.get("test_theta", d["train_theta"])
+            )[:, args.feature]
+            truth_pdf = np.asarray(gaussian_kde_pdf(grid, truth))
+            truth_pdf = truth_pdf / np.trapezoid(truth_pdf, grid)
+            cols.append(truth_pdf)
+            header += " truth"
+        np.savetxt(f"{args.out}_kde.txt", np.stack(cols, axis=1), header=header)
+        written = [f"{args.out}_kde.txt"]
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(8, 5))
+            ax.fill_between(
+                grid, band[0], band[1], alpha=0.25, color="C2",
+                label=f"augmentation with UQ ({100 * (1 - args.alpha):.0f}% HPD)",
+            )
+            ax.plot(grid, med, color="C2", label="PPD median")
+            if truth_pdf is not None:
+                ax.plot(grid, truth_pdf, "k--", label="truth KDE")
+            ax.set_xlabel(f"theta[{args.feature}]")
+            ax.set_ylabel("density")
+            ax.legend()
+            f = f"{args.out}_kde.png"
+            fig.savefig(f, dpi=120)
+            written.append(f)
+        except ImportError as e:  # matplotlib optional
+            print(f"plot skipped: {e}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "written": written,
+                    "n_draws": int(pdfs.shape[0]),
+                    "band_mean_width": float(np.mean(band[1] - band[0])),
+                }
+            )
+        )
         return 0
 
     import jax

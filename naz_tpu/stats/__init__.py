@@ -7,6 +7,11 @@ from naz_tpu.stats.statutils import (
 from naz_tpu.stats.model_comparison import compute_bic, amplification
 from naz_tpu.stats.calibrate import calibrate, calibration_curve, posterior_predictive
 from naz_tpu.stats.sbc import rank_uniformity, sbc_ranks
+from naz_tpu.stats.kde import (
+    bounded_kde_pdf,
+    gaussian_kde_pdf,
+    ppd_kde_bands,
+)
 
 __all__ = [
     "hpd",
@@ -20,4 +25,7 @@ __all__ = [
     "posterior_predictive",
     "sbc_ranks",
     "rank_uniformity",
+    "gaussian_kde_pdf",
+    "bounded_kde_pdf",
+    "ppd_kde_bands",
 ]

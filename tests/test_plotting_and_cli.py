@@ -133,6 +133,20 @@ def test_cli_full_pipeline(tmp_path):
     for f in written:
         assert os.path.getsize(f) > 0
 
+    # kde-bands: the bayesian_amplification_kde.ipynb per-draw KDE + HPD band
+    out = run(
+        "kde-bands", "--ppd", str(ppd), "--feature", "1",
+        "--data", str(h5), "--alpha", "0.1",
+        "--out", str(tmp_path / "amp"),
+    )
+    kres = json.loads(out.strip().splitlines()[-1])
+    assert kres["n_draws"] == 6 and kres["band_mean_width"] > 0
+    tab = np.loadtxt(tmp_path / "amp_kde.txt")
+    assert tab.shape == (100, 5)  # grid, lo, hi, median, truth
+    assert np.all(tab[:, 1] <= tab[:, 2])
+    # per-draw pdfs were trapezoid-normalized: median curve integrates ~1
+    assert abs(np.trapezoid(tab[:, 3], tab[:, 0]) - 1.0) < 0.1
+
 
 def test_cli_unconditional_bounded(tmp_path):
     """Unconditional flow on box-bounded samples via --bounds-low/high —
