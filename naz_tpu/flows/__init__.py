@@ -25,6 +25,7 @@ def maf_flow(
     pallas_bf16: bool = True,
     compute_dtype=None,
     remat: bool = True,
+    simple_masking: bool = True,
 ) -> Flow:
     """Convenience factory mirroring the reference's ``flow_type="maf"``
     (``/root/reference/src/naz/flows/flow.py:21-42``): a Flow with a single
@@ -50,6 +51,7 @@ def maf_flow(
             pallas_bf16=pallas_bf16,
             compute_dtype=compute_dtype,
             remat=remat,
+            simple_masking=simple_masking,
         )
         return Flow(dim=dim, transforms=(t,), bounds=bounds, embedding=embedding)
     if norm not in ("actnorm", "batchnorm"):
@@ -70,6 +72,7 @@ def maf_flow(
                 permutations=perms[l : l + 1],
                 invert=invert,
                 dropout_rate=dropout_rate,
+                simple_masking=simple_masking,
             )
         )
         if l < n_layers - 1:

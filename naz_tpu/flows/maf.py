@@ -130,12 +130,17 @@ class MaskedAutoregressiveFlow:
         pallas_bf16: bool = True,
         compute_dtype: Optional[str] = None,
         remat: bool = True,
+        simple_masking: bool = True,
     ) -> "MaskedAutoregressiveFlow":
+        rng = np.random.default_rng(seed)
         if permutations is None:
-            permutations = random_permutations(np.random.default_rng(seed), dim, n_layers)
+            permutations = random_permutations(rng, dim, n_layers)
         permutations = np.asarray(permutations)
         per_layer = [
-            made_masks(dim, context_dim, hidden_dims, permutations[l], n_params=2)[0]
+            made_masks(
+                dim, context_dim, hidden_dims, permutations[l], n_params=2,
+                simple_masking=simple_masking, rng=rng,
+            )[0]
             for l in range(n_layers)
         ]
         stacked = tuple(

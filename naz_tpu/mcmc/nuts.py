@@ -51,7 +51,9 @@ class NUTSInfo(NamedTuple):
     depth: jnp.ndarray
     diverging: jnp.ndarray
     turning: jnp.ndarray
-    energy: jnp.ndarray  # H at the accepted point
+    # potential U at the accepted point (NOT the Hamiltonian: the accepted
+    # leaf's momentum is not retained once the trajectory is sampled)
+    potential_energy: jnp.ndarray
 
 
 def _uturn(rho, r_left, r_right, inv_mass):
@@ -307,6 +309,6 @@ def nuts_step(
         depth=c["depth"],
         diverging=c["diverging"],
         turning=c["turning"],
-        energy=c["U_prop"],
+        potential_energy=c["U_prop"],
     )
     return c["q_prop"], c["U_prop"], c["grad_prop"], info

@@ -126,7 +126,7 @@ def _make_step(pg, cfg: MCMCRunConfig):
                 depth=jnp.zeros((), jnp.int32),
                 diverging=info.diverging,
                 turning=jnp.zeros((), bool),
-                energy=info.energy,
+                potential_energy=U,
             )
 
         return step

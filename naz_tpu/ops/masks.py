@@ -32,17 +32,44 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def _spread_degrees(
+    hi: int, h: int, simple: bool, rng: np.random.Generator | None
+) -> np.ndarray:
+    """Hidden-unit degrees: an even spread of ``linspace(1, hi, h)``.
+
+    ``simple=True`` rounds deterministically (the reference's production
+    mode). ``simple=False`` is the reference's *stochastic* masking knob
+    (``sample_mask_indices(simple=False)``,
+    ``/root/reference/src/naz/flows/bflow_jax_maf.py:48-50``): stochastic
+    rounding, ``floor(idx) + Bernoulli(idx - floor(idx))`` — same expected
+    degree but randomized tie-breaking, so an ensemble of conditioners
+    doesn't share one connectivity pattern. (As written upstream the knob is
+    broken twice — ``np.random.bernoulli`` doesn't exist and the flag is
+    never forwarded into ``create_mask`` — this implements the intent.)
+    """
+    idx = np.linspace(1, hi, h)
+    if simple:
+        return np.round(idx).astype(np.int64)
+    frac = idx - np.floor(idx)
+    rng = rng if rng is not None else np.random.default_rng()
+    return (np.floor(idx) + rng.binomial(1, frac)).astype(np.int64)
+
+
 def made_degrees(
     dim: int,
     hidden_dims: Sequence[int],
     context_dim: int,
     permutation: np.ndarray,
+    simple_masking: bool = True,
+    rng: np.random.Generator | None = None,
 ) -> tuple[np.ndarray, list[np.ndarray], np.ndarray]:
     """Return (input_degrees, hidden_degrees per layer, output_degrees).
 
     ``input_degrees`` covers the concatenated ``[context, x]`` input (context
     first, degree 0). ``output_degrees`` covers a single ``dim``-sized output
     block (callers tile it for multi-parameter outputs).
+    ``simple_masking=False`` uses stochastic degree rounding (needs ``rng``
+    for reproducibility); see :func:`_spread_degrees`.
     """
     permutation = np.asarray(permutation)
     if permutation.shape != (dim,):
@@ -55,12 +82,13 @@ def made_degrees(
     hidden = []
     for h in hidden_dims:
         if context_dim > 0:
-            deg = np.round(np.linspace(1, dim, h)).astype(np.int64) - 1
+            deg = _spread_degrees(dim, h, simple_masking, rng) - 1
         else:
             # Unconditional: degree-0 hidden units would be dead (no inputs),
             # so degrees live in [1, dim-1].
             hi = max(dim - 1, 1)
-            deg = np.round(np.linspace(1, hi, h)).astype(np.int64)
+            deg = _spread_degrees(hi, h, simple_masking, rng)
+        deg = np.clip(deg, 0 if context_dim > 0 else 1, max(dim - 1, 1))
         hidden.append(deg)
 
     return input_degrees, hidden, var_degree
@@ -73,6 +101,8 @@ def made_masks(
     permutation: np.ndarray,
     n_params: int = 2,
     dtype=jnp.float32,
+    simple_masking: bool = True,
+    rng: np.random.Generator | None = None,
 ) -> tuple[list[jnp.ndarray], jnp.ndarray]:
     """Build the masked-MLP connectivity masks for one MADE conditioner.
 
@@ -86,7 +116,7 @@ def made_masks(
     if not hidden_dims:
         raise ValueError("need at least one hidden layer")
     input_degrees, hidden_degrees, var_degree = made_degrees(
-        dim, hidden_dims, context_dim, permutation
+        dim, hidden_dims, context_dim, permutation, simple_masking, rng
     )
     output_degrees = np.tile(var_degree, n_params)
 

@@ -62,3 +62,53 @@ def test_random_permutations_reproducible():
     assert (a == b).all()
     for row in a:
         assert sorted(row) == list(range(6))
+
+
+def test_stochastic_masking_autoregressive_property():
+    """simple_masking=False (the reference's sample_mask_indices
+    simple=False knob, bflow_jax_maf.py:48-50): stochastic degree rounding
+    must still satisfy the autoregressive property, both conditional and
+    unconditional, and be reproducible from the rng."""
+    dim, ctx = 5, 2
+    perm = np.random.default_rng(3).permutation(dim)
+    for context_dim in (ctx, 0):
+        masks, _ = made_masks(
+            dim, context_dim, [16, 16], perm, n_params=2,
+            simple_masking=False, rng=np.random.default_rng(11),
+        )
+        conn = np.asarray(masks[-1])
+        for m in reversed(masks[:-1]):
+            conn = conn @ np.asarray(m)
+        in_deg = np.concatenate(
+            [np.zeros(context_dim), np.empty(dim)]
+        )
+        in_deg[context_dim + perm] = np.arange(1, dim + 1)
+        out_deg = np.tile(in_deg[context_dim:], 2)
+        assert all(
+            in_deg[j] < out_deg[i]
+            for i in range(conn.shape[0])
+            for j in range(conn.shape[1])
+            if conn[i, j] != 0
+        )
+
+    a, _ = made_masks(dim, ctx, [16], perm, simple_masking=False,
+                      rng=np.random.default_rng(5))
+    b, _ = made_masks(dim, ctx, [16], perm, simple_masking=False,
+                      rng=np.random.default_rng(5))
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+def test_stochastic_masking_flow_invertible():
+    """A simple_masking=False MAF still inverts exactly (the masks define a
+    valid triangular map whatever the rounding)."""
+    import jax
+    from naz_tpu.flows import maf_flow
+
+    flow = maf_flow(3, 2, (12,), context_dim=2, seed=0, simple_masking=False)
+    params = flow.init_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (7, 3))
+    c = jax.random.normal(jax.random.PRNGKey(2), (7, 2))
+    lp = flow.log_prob(params, x, context=c)
+    assert np.isfinite(np.asarray(lp)).all()
+    s = flow.sample(params, jax.random.PRNGKey(3), 64, context=c[:1])
+    assert np.isfinite(np.asarray(s)).all()
