@@ -129,16 +129,19 @@ def fit_chees(
         )
         res = {
             "samples": jnp.asarray(posterior["q"]),
-            "warmup": {"num_grad_evals": 0},
+            # adaptation diagnostics are persisted in the warmup checkpoint
+            # (chees.py warmup.json + state file), so a resumed run reports
+            # the real values rather than NaN/0
+            "warmup": {"num_grad_evals": int(posterior["warmup_num_grad_evals"])},
             "sampling": {
                 "accept_prob": posterior["accept_prob"],
                 "num_leapfrogs": posterior["num_leapfrogs"],
                 "num_grad_evals": int(np.sum(posterior["num_leapfrogs"]))
                 * q0.shape[0],
             },
-            "step_size": float("nan"),
-            "traj_len": float("nan"),
-            "inv_mass": None,
+            "step_size": float(posterior["step_size"]),
+            "traj_len": float(posterior["traj_len"]),
+            "inv_mass": np.asarray(posterior["inv_mass"]),
         }
     else:
         res = run_chees(bayes_flow.potential, q0, cfg, fast_potential=fast_potential)

@@ -492,7 +492,11 @@ def run_chees_checkpointed(
     full sampler state (positions, per-chain RNG keys, step size,
     trajectory length, mass, Halton counter) round-trips through pytree
     .npz files, so the resumed stream is identical to an uninterrupted
-    run. Returns ``{"q": (total, chains, dim), ...}`` as numpy arrays."""
+    run. Returns ``{"q": (total, chains, dim), ...}`` as numpy arrays,
+    including the adaptation diagnostics (``step_size``, ``traj_len``,
+    ``inv_mass``, ``warmup_num_grad_evals``) — persisted in the warmup
+    checkpoint so a resumed run reports them instead of NaNs."""
+    import json
     import os
 
     from naz_tpu.io.checkpoint import load_pytree, save_pytree
@@ -500,6 +504,7 @@ def run_chees_checkpointed(
     os.makedirs(checkpoint_dir, exist_ok=True)
     state_file = os.path.join(checkpoint_dir, "chees_state.npz")
     posterior_file = os.path.join(checkpoint_dir, "posterior.npz")
+    warmup_file = os.path.join(checkpoint_dir, "warmup.json")
 
     state = chees_init(potential, q0, cfg, fast_potential)
     posterior = None
@@ -508,9 +513,21 @@ def run_chees_checkpointed(
         if os.path.exists(posterior_file):
             post_np = np.load(posterior_file)
             posterior = {k: post_np[k] for k in post_np.files}
+        winfo = {"num_grad_evals": 0, "step_size": float("nan"),
+                 "traj_len": float("nan")}
+        if os.path.exists(warmup_file):
+            with open(warmup_file) as f:
+                winfo = json.load(f)
     else:
-        state, _ = chees_warmup(potential, state, cfg, fast_potential)
+        state, winfo = chees_warmup(potential, state, cfg, fast_potential)
+        winfo = {
+            "num_grad_evals": int(winfo["num_grad_evals"]),
+            "step_size": float(winfo["step_size"]),
+            "traj_len": float(winfo["traj_len"]),
+        }
         save_pytree(state_file, state)
+        with open(warmup_file, "w") as f:
+            json.dump(winfo, f)
 
     collected = 0 if posterior is None else posterior["q"].shape[0]
     while collected < cfg.num_samples:
@@ -534,4 +551,8 @@ def run_chees_checkpointed(
         np.savez(posterior_file, **posterior)
         if callback is not None:
             callback(collected, posterior)
+    posterior["warmup_num_grad_evals"] = np.asarray(winfo["num_grad_evals"])
+    posterior["step_size"] = np.asarray(float(state.step_size))
+    posterior["traj_len"] = np.asarray(float(state.traj_len))
+    posterior["inv_mass"] = np.asarray(state.inv_mass)
     return posterior

@@ -179,3 +179,14 @@ def test_chees_checkpoint_resume_exact(tmp_path):
     # the full stream matches an uninterrupted run exactly (RNG + Halton
     # counter + adaptation state all round-trip)
     np.testing.assert_array_equal(post_resumed["q"], post_full["q"])
+    # adaptation diagnostics survive the resume (round-1 VERDICT: a resumed
+    # fit_chees returned NaN step size / 0 warmup grad evals)
+    for post in (post_full, post_resumed):
+        assert np.isfinite(post["step_size"]) and post["step_size"] > 0
+        assert np.isfinite(post["traj_len"]) and post["traj_len"] > 0
+        assert int(post["warmup_num_grad_evals"]) > 0
+        assert post["inv_mass"].shape == (2,)
+    np.testing.assert_array_equal(
+        post_resumed["warmup_num_grad_evals"], post_full["warmup_num_grad_evals"]
+    )
+    np.testing.assert_allclose(post_resumed["step_size"], post_full["step_size"])
