@@ -4,5 +4,12 @@ from naz_tpu.parallel.mesh import (
     shard_data,
     sharded_loglik,
 )
+from naz_tpu.parallel.distributed import initialize_multihost
 
-__all__ = ["make_mesh", "shard_chain_state", "shard_data", "sharded_loglik"]
+__all__ = [
+    "make_mesh",
+    "shard_chain_state",
+    "shard_data",
+    "sharded_loglik",
+    "initialize_multihost",
+]
