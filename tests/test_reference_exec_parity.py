@@ -1,0 +1,225 @@
+"""TRUE cross-implementation parity: execute the reference's own code.
+
+Round-1 VERDICT #4: the previous parity oracle was self-written — a shared
+misreading of the reference would pass. Here the pure jax+numpy functions
+from ``/root/reference/src/naz/flows/bflow_jax_maf.py:48-225``
+(``sample_mask_indices``, ``create_mask``, ``masked_linear``, the bounding
+transforms, ``make_conditional_autoregressive_nn``,
+``make_masked_affine_autoregressive_transform``, ``make_normalizing_flow``)
+are extracted textually and exec'd (the module's *top-level* numpyro/physt
+imports are what block a plain import — the functions themselves only need
+jax/numpy). Every mask convention, layer orientation, clipping constant and
+log-det sign is then asserted against our stack on random weights,
+conditional and unconditional, plus the bounding-transform pair.
+"""
+
+import os
+import re
+from functools import partial, reduce  # noqa: F401 (exec namespace)
+from typing import Callable, List, Optional, Tuple, Union  # noqa: F401
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from naz_tpu.compat import flow_from_reference_arrays
+from naz_tpu.ops.masks import made_masks
+
+REF_FILE = "/root/reference/src/naz/flows/bflow_jax_maf.py"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_FILE), reason="reference checkout not available"
+)
+
+
+def _load_reference_namespace():
+    src = open(REF_FILE).read()
+    start = src.index("def sample_mask_indices")
+    end = src.index("def bayesian_normalizing_flow")
+    segment = src[start:end]
+    # the segment is pure jax/numpy; give it the module's import surface
+    ns = {
+        "jax": jax,
+        "jnp": jnp,
+        "np": np,
+        "random": jax.random,
+        "lax": jax.lax,
+        "partial": partial,
+        "reduce": reduce,
+        "Callable": Callable,
+        "List": List,
+        "Tuple": Tuple,
+        "Optional": Optional,
+        "Union": Union,
+    }
+    exec(compile(segment, REF_FILE, "exec"), ns)
+    return ns
+
+
+REF = _load_reference_namespace()
+
+
+def test_reference_code_extraction_complete():
+    for name in (
+        "sample_mask_indices",
+        "create_mask",
+        "masked_linear",
+        "bounding_transform",
+        "inverse_bounding_transform",
+        "make_conditional_autoregressive_nn",
+        "make_masked_affine_autoregressive_transform",
+        "make_normalizing_flow",
+    ):
+        assert name in REF, f"extraction lost {name}"
+
+
+@pytest.mark.parametrize("ctx_dim", [0, 2])
+@pytest.mark.parametrize("dim,hidden", [(2, [16, 16]), (4, [8])])
+def test_masks_match_reference_create_mask(ctx_dim, dim, hidden):
+    """Our made_masks must equal the reference's create_mask exactly
+    (simple masking) for identical permutations."""
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(dim)
+    ref_masks, ref_skip = REF["create_mask"](
+        dim, ctx_dim, hidden, jnp.asarray(perm), 2
+    )
+    ours, skip = made_masks(dim, ctx_dim, hidden, perm, n_params=2)
+    assert len(ref_masks) == len(ours)
+    for rm, om in zip(ref_masks, ours):
+        np.testing.assert_array_equal(np.asarray(rm), np.asarray(om))
+    np.testing.assert_array_equal(np.asarray(ref_skip), np.asarray(skip))
+
+
+def _make_reference_flow(rng, dim, ctx_dim, hidden, n_layers, x, context):
+    """Build the reference's flow dict {"lp", "sampler"} with random weights,
+    plus the raw (params, masks, perms) for importing into our stack."""
+    nn_fn, param_shapes, generate_mask = REF["make_conditional_autoregressive_nn"](
+        dim, ctx_dim, list(hidden), param_dims=[1, 1]
+    )
+    transform = REF["make_masked_affine_autoregressive_transform"](
+        nn_fn, dim, context=context
+    )
+    params, masks, skips, perms = [], [], [], []
+    for _ in range(n_layers):
+        perm = rng.permutation(dim)
+        m, skip, p = generate_mask(jnp.asarray(perm))
+        lp = [
+            (
+                jnp.asarray(0.5 * rng.standard_normal((wshape[0], wshape[1]))
+                            / np.sqrt(wshape[1]), jnp.float32),
+                jnp.asarray(0.1 * rng.standard_normal(wshape[0]), jnp.float32),
+            )
+            for (wshape, _b) in param_shapes
+        ]
+        params.append(lp)
+        masks.append([np.asarray(mm) for mm in m])
+        skips.append(np.asarray(skip))
+        perms.append(np.asarray(p))
+    flow = REF["make_normalizing_flow"](
+        transform, jnp.asarray(x), masks, skips, perms,
+        bounds=None, context=context,
+    )
+    return flow, params, masks, perms
+
+
+@pytest.mark.parametrize("ctx_dim", [0, 2])
+def test_log_prob_matches_reference_exec(ctx_dim):
+    rng = np.random.default_rng(1)
+    dim, hidden, n_layers = 3, (16, 16), 3
+    x = rng.standard_normal((32, dim)).astype(np.float32)
+    context = (
+        jnp.asarray(rng.standard_normal((32, ctx_dim)).astype(np.float32))
+        if ctx_dim
+        else None
+    )
+    ref_flow, params, masks, perms = _make_reference_flow(
+        rng, dim, ctx_dim, hidden, n_layers, x, context
+    )
+    lp_ref = np.asarray(ref_flow["lp"](params))
+
+    ours, fp = flow_from_reference_arrays(params, masks, perms, context_dim=ctx_dim)
+    lp_ours = np.asarray(
+        ours.log_prob(
+            fp, jnp.asarray(x), context=None if context is None else context
+        )
+    )
+    np.testing.assert_allclose(lp_ours, lp_ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("ctx_dim", [0, 2])
+def test_sampler_matches_reference_exec(ctx_dim):
+    """Same key -> the reference sampler and our inverse produce identical
+    samples (and consistent log-jacobians)."""
+    rng = np.random.default_rng(2)
+    dim, hidden, n_layers = 2, (12,), 2
+    x = rng.standard_normal((16, dim)).astype(np.float32)
+    # reference sampler requires a single 1-D context row
+    context = (
+        jnp.asarray(rng.standard_normal(ctx_dim).astype(np.float32))
+        if ctx_dim
+        else None
+    )
+    ref_flow, params, masks, perms = _make_reference_flow(
+        rng, dim, ctx_dim, hidden, n_layers, x, context
+    )
+    key = jax.random.PRNGKey(7)
+    size = 64
+    if ctx_dim:
+        y_ref, logj_ref = ref_flow["sampler"](params, key, size)
+    else:
+        # the reference's unconditional sampler path is broken upstream
+        # (`this_fwd_transform` unbound when context is None,
+        # bflow_jax_maf.py:170-172 — never hit by its examples, which all
+        # condition); reduce its forward transform directly, which is
+        # exactly what make_normalizing_flow's sample() does around it.
+        nn_fn, _, generate_mask = REF["make_conditional_autoregressive_nn"](
+            dim, 0, list(hidden), param_dims=[1, 1]
+        )
+        fwd, _ = REF["make_masked_affine_autoregressive_transform"](nn_fn, dim)
+        z0 = jax.random.normal(key, shape=(size, dim))
+        base0 = -jnp.sum(0.5 * z0**2, -1) - 0.5 * dim * jnp.log(2 * jnp.pi)
+        skips = [np.zeros_like(m[-1]) for m in masks]
+        y_ref, logj_ref = reduce(
+            fwd, zip(params, masks, [s for s in skips]), (z0, base0)
+        )
+    y_ref = np.asarray(y_ref)
+
+    ours, fp = flow_from_reference_arrays(params, masks, perms, context_dim=ctx_dim)
+    # replicate the reference's base draw exactly (bflow_jax_maf.py:215)
+    z = jax.random.normal(key, shape=(size, dim))
+    t = ours.transforms[0]
+    ctx_rows = None if context is None else jnp.broadcast_to(context, (size, ctx_dim))
+    y_ours, ld_ours = t.inverse(fp["transforms"][0], z, context=ctx_rows)
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref, rtol=2e-5, atol=2e-5)
+
+    # reference log_j = logN(z) + sum(log_scale); ours ld = +sum(log_scale)
+    base = np.asarray(-0.5 * jnp.sum(z**2, -1) - 0.5 * dim * np.log(2 * np.pi))
+    np.testing.assert_allclose(
+        np.asarray(ld_ours), np.asarray(logj_ref) - base, rtol=2e-5, atol=2e-5
+    )
+
+
+def test_bounding_transform_matches_reference_exec():
+    from naz_tpu.ops.bounding import bounding_transform, inverse_bounding_transform
+
+    rng = np.random.default_rng(3)
+    low = jnp.asarray([-1.0, 0.0])
+    high = jnp.asarray([2.0, 1.5])
+    x = jnp.asarray(
+        rng.uniform(0.05, 0.95, (10, 2)) * np.asarray(high - low) + np.asarray(low),
+        jnp.float32,
+    )
+    u_ref, lj_ref = REF["bounding_transform"](x, low, high)
+    u_ours, lj_ours = bounding_transform(x, low, high)
+    np.testing.assert_allclose(np.asarray(u_ours), np.asarray(u_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lj_ours), np.asarray(lj_ref), rtol=1e-5, atol=1e-5)
+
+    y_ref, ij_ref = REF["inverse_bounding_transform"](u_ref, low, high)
+    y_ours, ij_ours = inverse_bounding_transform(u_ours, low, high)
+    np.testing.assert_allclose(np.asarray(y_ours), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ij_ours), np.asarray(ij_ref), rtol=1e-5, atol=1e-5)
+    # and the pair round-trips to the identity on the log-det level
+    np.testing.assert_allclose(
+        np.asarray(lj_ours + ij_ours), 0.0, atol=1e-5
+    )
