@@ -167,6 +167,16 @@ def main(argv=None):
     hp.add_argument("--sigma", type=float, default=1.0, help="scale_max")
     hp.add_argument("--prior", default="uniform")
     hp.add_argument(
+        "--free-scale", action="store_true",
+        help="sample scale ~ U(0, sigma) instead of fixing it at sigma "
+        "(reference fixed_scale=False, bflow_jax_maf.py:238)",
+    )
+    hp.add_argument(
+        "--multi-scale", action="store_true",
+        help="with --free-scale: one scale per weight (doubles the "
+        "sampling dimension, reference multi_scale=True)",
+    )
+    hp.add_argument(
         "--chain-exec", default="map", choices=["map", "vmap"],
         help="chain execution: sequential 'map' (faster at production "
         "scale, the default) or batched 'vmap' (faster for small models)",
@@ -212,6 +222,15 @@ def main(argv=None):
     sp.add_argument("--num-steps", type=int, default=7000)
     sp.add_argument("--step-size", type=float, default=5e-3)
     sp.add_argument("--sigma", type=float, default=1.0)
+    sp.add_argument("--prior", default="uniform")
+    sp.add_argument(
+        "--free-scale", action="store_true",
+        help="learn a guide over scale ~ U(0, sigma) (fixed_scale=False)",
+    )
+    sp.add_argument(
+        "--multi-scale", action="store_true",
+        help="with --free-scale: per-weight scale guide",
+    )
     sp.add_argument("--num-particles", type=int, default=1)
     sp.add_argument("--evidence-samples", type=int, default=1000)
     sp.add_argument("--out", required=True)
@@ -709,6 +728,8 @@ def main(argv=None):
         mle_params,
         scale_max=args.sigma,
         prior=getattr(args, "prior", "uniform"),
+        fixed_scale=not getattr(args, "free_scale", False),
+        multi_scale=getattr(args, "multi_scale", False),
     )
     print(f"model complexity: {bf.complexity}")
 
@@ -740,6 +761,8 @@ def main(argv=None):
                     mle_params,
                     scale_max=args.sigma,
                     prior=getattr(args, "prior", "uniform"),
+                    fixed_scale=not getattr(args, "free_scale", False),
+                    multi_scale=getattr(args, "multi_scale", False),
                 )
             post = fit_chees(
                 bf,
@@ -841,12 +864,20 @@ def main(argv=None):
             bf, svi, jax.random.PRNGKey(args.seed), num_samples=args.evidence_samples
         )
         draws = sample_svi_posterior(bf, svi, jax.random.PRNGKey(args.seed + 1), 1000)
+        extra = {}
+        if not bf.fixed_scale:
+            extra = {
+                "scale": np.asarray(draws["scale"]),
+                "scale_mu": np.asarray(svi.guide_params["scale_mu"]),
+                "scale_sigma": np.asarray(svi.guide_params["scale_sigma"]),
+            }
         np.savez(
             args.out,
             params_flat=np.asarray(draws["params_flat"]),
             mu=np.asarray(svi.guide_params["mu"]),
             sigma=np.asarray(svi.guide_params["sigma"]),
             losses=svi.losses,
+            **extra,
         )
         print(
             json.dumps(

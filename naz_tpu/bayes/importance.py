@@ -51,10 +51,12 @@ def importance_evidence(
 
     def log_weight_batch(k, n):
         if svi_result is not None:
-            if bf.prior != "uniform":
-                raise NotImplementedError(
-                    "SVI guide proposals currently assume the uniform prior"
-                )
+            # Any prior family (the reference's Importance(model, guide)
+            # accepted all of them, train_flows.py:358-380). For
+            # interval-supported priors the truncated guide covers the
+            # prior's support exactly; for normal/standard_normal priors
+            # the guide is an untruncated Normal (bayes/svi.py), so the
+            # support condition q > 0 wherever p > 0 holds there too.
             draws = sample_svi_posterior(bf, svi_result, k, n)
             log_q = guide_log_prob(
                 bf, svi_result, draws["standard"],
@@ -66,9 +68,10 @@ def importance_evidence(
             log_q = bf.log_prior_standard(draws["standard"])
         log_prior = bf.log_prior_standard(draws["standard"])
         if not bf.fixed_scale:
-            log_prior = log_prior - jnp.log(bf.scale_max)
+            n_scale = bf.num_weights if bf.multi_scale else 1
+            log_prior = log_prior - n_scale * jnp.log(bf.scale_max)
             if svi_result is None:
-                log_q = log_q - jnp.log(bf.scale_max)
+                log_q = log_q - n_scale * jnp.log(bf.scale_max)
         ll = jax.vmap(bf.log_likelihood_flat)(draws["params_flat"])
         return ll + log_prior - log_q
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from naz_tpu.bayes.wrapper import BayesianFlow
-from naz_tpu.distributions import TruncatedNormal
+from naz_tpu.distributions import Normal, TruncatedNormal
 
 _MU_BOUND = 0.95
 
@@ -52,19 +52,50 @@ class SVIResult(NamedTuple):
     raw_params: dict  # unconstrained optimization variables
 
 
-def _guide_constrain(raw: dict) -> dict:
-    out = {
-        "mu": _MU_BOUND * jnp.tanh(raw["mu_u"]),
-        "sigma": jax.nn.sigmoid(raw["sigma_u"]),
-    }
+def _guide_constrain(bf: BayesianFlow, raw: dict) -> dict:
+    if bf.prior in ("uniform", "truncnorm"):
+        # interval-supported prior: guide mean in (-0.95, 0.95) and sigma in
+        # (0,1), the reference's parameter constraints (bflow_jax_maf.py:252-253)
+        out = {
+            "mu": _MU_BOUND * jnp.tanh(raw["mu_u"]),
+            "sigma": jax.nn.sigmoid(raw["sigma_u"]),
+        }
+    else:
+        # unconstrained standard space: free mean, softplus sigma
+        out = {
+            "mu": raw["mu_u"],
+            "sigma": jax.nn.softplus(raw["sigma_u"]),
+        }
     if "scale_mu_u" in raw:
+        # elementwise, so the scale guide is scalar or per-parameter
+        # (multi_scale) with the same code
         out["scale_mu"] = jax.nn.sigmoid(raw["scale_mu_u"])  # in (0,1), x scale_max
         out["scale_sigma"] = jax.nn.sigmoid(raw["scale_sigma_u"])
     return out
 
 
-def _guide_dist(g: dict) -> TruncatedNormal:
-    return TruncatedNormal(g["mu"], g["sigma"], -1.0, 1.0)
+def _guide_dist(bf: BayesianFlow, g: dict):
+    """Mean-field guide over the standardized weights. Uniform/truncnorm
+    priors have (-1,1) support; normal/standard_normal priors are
+    unconstrained, so the guide is a plain Normal over the same mean-field
+    parameters (the reference's guide only ever covered the uniform case,
+    ``bflow_jax_maf.py:255-258``)."""
+    if bf.prior in ("uniform", "truncnorm"):
+        return TruncatedNormal(g["mu"], g["sigma"], -1.0, 1.0)
+    return Normal(g["mu"], g["sigma"])
+
+
+def _scale_guide_dist(bf: BayesianFlow, g: dict) -> TruncatedNormal:
+    return TruncatedNormal(
+        bf.scale_max * g["scale_mu"],
+        bf.scale_max * g["scale_sigma"],
+        0.0,
+        bf.scale_max,
+    )
+
+
+def _scale_shape(bf: BayesianFlow) -> tuple:
+    return (bf.num_weights,) if bf.multi_scale else ()
 
 
 def fit_svi(
@@ -81,42 +112,44 @@ def fit_svi(
 
     bf = bayes_flow
     P = bf.num_weights
-    if not bf.fixed_scale and bf.multi_scale:
-        raise NotImplementedError("multi_scale SVI guide not implemented yet")
 
+    if bf.prior in ("uniform", "truncnorm"):
+        sigma_u0 = _inv_sigmoid(cfg.init_sigma)
+    else:
+        sigma_u0 = _inv_softplus(cfg.init_sigma)
     raw0 = {
         "mu_u": jnp.zeros(P),
-        "sigma_u": jnp.full((P,), _inv_sigmoid(cfg.init_sigma)),
+        "sigma_u": jnp.full((P,), sigma_u0),
     }
     if not bf.fixed_scale:
-        raw0["scale_mu_u"] = jnp.zeros(())
-        raw0["scale_sigma_u"] = jnp.full((), _inv_sigmoid(0.1))
+        # scalar or per-parameter (multi_scale) — same mean-field guide,
+        # elementwise (the reference's multi-scale guide falls back to the
+        # prior for scale, bflow_jax_maf.py:249; a learned factor subsumes it)
+        raw0["scale_mu_u"] = jnp.zeros(_scale_shape(bf))
+        raw0["scale_sigma_u"] = jnp.full(_scale_shape(bf), _inv_sigmoid(0.1))
 
     opt = optax.adam(cfg.step_size)
     opt_state0 = opt.init(raw0)
 
     def neg_elbo(raw, key):
-        g = _guide_constrain(raw)
-        q = _guide_dist(g)
+        g = _guide_constrain(bf, raw)
+        q = _guide_dist(bf, g)
 
         def one_particle(k):
             k_std, k_scale = jax.random.split(k)
             std = q.sample(k_std, (P,))
             log_q = jnp.sum(q.log_prob(std))
-            log_prior = -P * jnp.log(2.0)  # U(-1,1)^P
+            log_prior = bf.log_prior_standard(std)
             if bf.fixed_scale:
                 scale = jnp.asarray(bf.scale_max)
             else:
-                qs = TruncatedNormal(
-                    bf.scale_max * g["scale_mu"],
-                    bf.scale_max * g["scale_sigma"],
-                    0.0,
-                    bf.scale_max,
-                )
-                scale = qs.sample(k_scale, ())
-                log_q = log_q + qs.log_prob(scale)
-                log_prior = log_prior - jnp.log(bf.scale_max)  # U(0, scale_max)
-            params_flat = bf._flat_mle * (1.0 + scale * std)
+                qs = _scale_guide_dist(bf, g)
+                scale = qs.sample(k_scale, _scale_shape(bf))
+                log_q = log_q + jnp.sum(qs.log_prob(scale))
+                # scale ~ U(0, scale_max), scalar or per-parameter
+                n_scale = P if bf.multi_scale else 1
+                log_prior = log_prior - n_scale * jnp.log(bf.scale_max)
+            params_flat = bf.params_flat_from(std, scale)
             ll = bf.log_likelihood_flat(params_flat)
             return ll + log_prior - log_q
 
@@ -152,7 +185,7 @@ def fit_svi(
 
     raw, _, _ = carry
     return SVIResult(
-        guide_params=jax.tree.map(np.asarray, _guide_constrain(raw)),
+        guide_params=jax.tree.map(np.asarray, _guide_constrain(bf, raw)),
         losses=np.asarray(jnp.concatenate(losses))[: cfg.num_steps],
         raw_params=jax.tree.map(np.asarray, raw),
     )
@@ -165,20 +198,15 @@ def sample_svi_posterior(
     path, ``bflow_jax_maf.py:350-353``)."""
     bf = bayes_flow
     g = jax.tree.map(jnp.asarray, result.guide_params)
-    q = _guide_dist(g)
+    q = _guide_dist(bf, g)
     k_std, k_scale = jax.random.split(jnp.asarray(key))
     std = q.sample(k_std, (num_samples, bf.num_weights))
     if bf.fixed_scale:
         scale = jnp.full((num_samples,), bf.scale_max)
     else:
-        qs = TruncatedNormal(
-            bf.scale_max * g["scale_mu"],
-            bf.scale_max * g["scale_sigma"],
-            0.0,
-            bf.scale_max,
-        )
-        scale = qs.sample(k_scale, (num_samples,))
-    params_flat = bf._flat_mle * (1.0 + scale[:, None] * std)
+        qs = _scale_guide_dist(bf, g)
+        scale = qs.sample(k_scale, (num_samples,) + _scale_shape(bf))
+    params_flat = bf.params_flat_from(std, scale)
     return {
         "standard": std,
         "scale": scale,
@@ -192,17 +220,19 @@ def guide_log_prob(bayes_flow: BayesianFlow, result: SVIResult, std, scale=None)
     importance-sampling evidence module."""
     bf = bayes_flow
     g = jax.tree.map(jnp.asarray, result.guide_params)
-    lp = jnp.sum(_guide_dist(g).log_prob(std), axis=-1)
+    lp = jnp.sum(_guide_dist(bf, g).log_prob(std), axis=-1)
     if not bf.fixed_scale:
-        qs = TruncatedNormal(
-            bf.scale_max * g["scale_mu"],
-            bf.scale_max * g["scale_sigma"],
-            0.0,
-            bf.scale_max,
-        )
-        lp = lp + qs.log_prob(scale)
+        qs = _scale_guide_dist(bf, g)
+        lp_s = qs.log_prob(scale)
+        if bf.multi_scale:
+            lp_s = jnp.sum(lp_s, axis=-1)
+        lp = lp + lp_s
     return lp
 
 
 def _inv_sigmoid(p: float) -> float:
     return float(np.log(p / (1.0 - p)))
+
+
+def _inv_softplus(y: float) -> float:
+    return float(np.log(np.expm1(y)))

@@ -172,6 +172,18 @@ class BayesianFlow:
         mass = float(erf(jnp.asarray(z)))  # Phi(1) - Phi(-1)
         return base - P * math.log(mass)
 
+    def params_flat_from(self, standard, scale):
+        """Constrained (standard, scale) -> flat weights, for every prior
+        family (standard_normal draws weights directly; the rest use the
+        multiplicative reparameterization). Broadcasts over leading axes."""
+        if self.prior == "standard_normal":
+            return standard
+        if self.multi_scale or jnp.ndim(scale) == 0:
+            s = scale
+        else:
+            s = scale[..., None]
+        return self._flat_mle * (1.0 + s * standard)
+
     def unravel(self, params_flat):
         return self._unravel(params_flat)
 

@@ -88,3 +88,76 @@ def test_svi_free_scale():
     draws = sample_svi_posterior(bf, res, jax.random.PRNGKey(1), 32)
     s = np.asarray(draws["scale"])
     assert ((s >= 0) & (s <= 0.05)).all()
+
+
+def test_svi_multi_scale_guide_vs_nuts():
+    """Round-1 VERDICT #6: the multi-scale guide (per-parameter scale,
+    reference model bflow_jax_maf.py:238 multi_scale=True) — previously
+    NotImplementedError. Free-scale and multi-scale SVI posteriors must
+    roughly agree with NUTS on the same small flow posterior."""
+    from naz_tpu.bayes.exact import fit_nuts
+    from naz_tpu.mcmc.run import MCMCRunConfig
+
+    flow, params, x = _tiny_setup()
+    loglik = make_flow_loglik(flow, x)
+
+    posts = {}
+    for label, kwargs in (
+        ("free", dict(fixed_scale=False, multi_scale=False)),
+        ("multi", dict(fixed_scale=False, multi_scale=True)),
+    ):
+        bf = BayesianFlow(loglik, params, scale_max=0.05, **kwargs)
+        res = fit_svi(bf, SVIConfig(num_steps=800, step_size=1e-2, seed=0))
+        draws = sample_svi_posterior(bf, res, jax.random.PRNGKey(1), 128)
+        if label == "multi":
+            P = bf.num_weights
+            assert res.guide_params["scale_mu"].shape == (P,)
+            assert draws["scale"].shape == (128, P)
+            assert ((np.asarray(draws["scale"]) >= 0)
+                    & (np.asarray(draws["scale"]) <= 0.05)).all()
+        lls = jax.vmap(bf.log_likelihood_flat)(jnp.asarray(draws["params_flat"]))
+        posts[label] = np.asarray(lls)
+
+    # NUTS reference on the free-scale model
+    bf = BayesianFlow(loglik, params, scale_max=0.05, fixed_scale=False)
+    out = fit_nuts(
+        bf,
+        MCMCRunConfig(num_warmup=150, num_samples=150, num_chains=2, seed=0),
+        lean=True,
+    )
+    ll_nuts = np.asarray(out["log_likelihood"]).reshape(-1)
+
+    for label, ll_svi in posts.items():
+        # SVI mean-field underestimates variance; demand overlapping
+        # locations within a few posterior sds
+        d = abs(ll_svi.mean() - ll_nuts.mean()) / max(ll_nuts.std(), 1e-3)
+        assert d < 4.0, (label, ll_svi.mean(), ll_nuts.mean(), ll_nuts.std())
+
+
+def test_importance_evidence_nonuniform_prior_with_guide():
+    """Round-1 VERDICT #6: SVI-guide IS proposals under non-uniform priors
+    (previously hard-error, importance.py:54-57)."""
+    flow, params, x = _tiny_setup()
+    bf = BayesianFlow(
+        make_flow_loglik(flow, x), params, scale_max=0.1, prior="normal"
+    )
+    svi = fit_svi(bf, SVIConfig(num_steps=800, step_size=1e-2, seed=0))
+    # guide is an untruncated Normal for this prior family
+    assert np.abs(svi.guide_params["mu"]).max() < 10
+    ev = importance_evidence(bf, svi, jax.random.PRNGKey(0), num_samples=300)
+    ev_prior = importance_evidence(bf, None, jax.random.PRNGKey(0), num_samples=300)
+    for e in (ev, ev_prior):
+        assert np.isfinite(e.log_evidence)
+        assert 1.0 <= e.ess <= e.num_samples
+    assert abs(ev.log_evidence - ev_prior.log_evidence) < 10.0
+
+
+def test_importance_evidence_multi_scale():
+    flow, params, x = _tiny_setup()
+    bf = BayesianFlow(
+        make_flow_loglik(flow, x), params, scale_max=0.01,
+        fixed_scale=False, multi_scale=True,
+    )
+    ev = importance_evidence(bf, None, jax.random.PRNGKey(0), num_samples=200)
+    assert np.isfinite(ev.log_evidence)
+    assert 1.0 <= ev.ess <= ev.num_samples
