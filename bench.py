@@ -19,7 +19,15 @@ SLOPE between two in-program iteration counts — fixed overhead cancels.
 Each iteration's position depends on the previous gradient, so no work
 can be elided or cached.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Emits the headline JSON line LAST: {"metric", "value", "unit",
+"vs_baseline"} plus roofline-accounting keys ("effective_tflops",
+"pct_of_hbm_roofline" — the naive per-op HBM traffic model documented in
+PERFORMANCE.md; >100% means XLA's fusion beats the naive model, i.e. the
+path is at the achievable bandwidth ceiling). A second JSON line for the
+OTHER half of the BASELINE.json metric, post-warmup effective samples/s
+at the same production config (ChEES kernel, bf16 gradients + exact f32
+accept energies), is printed FIRST.
+
 The reference publishes no numbers (BASELINE.json "published": {}), so
 vs_baseline is 1.0 by convention.
 """
@@ -36,8 +44,14 @@ N_DATA = 190_000
 ITERS_LO = 24
 ITERS_HI = 120
 
+# Analytic workload model for the flagship potential (16 layers, widths
+# [4,150,150,150,4], N data points): matmul FLOPs per grad eval =
+# fwd + remat-recompute + dX-grads + W-grads = 4x forward.
+_MM_COLS = 4 * 150 + 150 * 150 + 150 * 150 + 150 * 4
+FLOPS_PER_GRAD = 4 * 2 * N_DATA * _MM_COLS * 16
 
-def make_runner(n_iters):
+
+def make_runner(n_iters, fwd_only=False):
     from naz_tpu.bayes import BayesianFlow, make_flow_loglik
     from naz_tpu.flows import maf_flow
 
@@ -64,6 +78,9 @@ def make_runner(n_iters):
     def run(q, eps):
         def body(carry, _):
             q, acc = carry
+            if fwd_only:
+                U = bf.potential(q)
+                return (q + (eps * 1e-8) * U, acc + U), None
             U, g = pg(q)
             return (q + eps * g, acc + U), None
 
@@ -73,11 +90,15 @@ def make_runner(n_iters):
     return run, q0
 
 
-def timed(n_iters):
-    run, q0 = make_runner(n_iters)
+def timed(n_iters, fwd_only=False):
+    run, q0 = make_runner(n_iters, fwd_only)
     t0 = time.time()
     acc = float(run(q0, 1e-12))  # compile + warm
-    print(f"iters={n_iters}: compile+run {time.time()-t0:.0f}s", flush=True)
+    print(
+        f"iters={n_iters}{' (fwd)' if fwd_only else ''}: "
+        f"compile+run {time.time()-t0:.0f}s",
+        flush=True,
+    )
     best = float("inf")
     for r in range(3):
         t0 = time.time()
@@ -86,11 +107,113 @@ def timed(n_iters):
     return best
 
 
+def bench_ess(num_warmup=150, num_samples=200, num_chains=2):
+    """Post-warmup ESS_min/s at the production config: ChEES with bf16
+    leapfrog gradients and exact f32 accept energies (the production
+    recommendation). Timing from the sampling-phase chunk wall clocks,
+    excluding the compile chunk (slope methodology at the chunk level).
+    ESS over the standard diagnostic projection (log-likelihood trace +
+    first 8 coordinates), min across the projection."""
+    import numpy as np
+
+    from naz_tpu.bayes import BayesianFlow, make_flow_loglik
+    from naz_tpu.flows import maf_flow
+    from naz_tpu.mcmc.chees import (
+        ChEESConfig, chees_init, chees_sample, chees_warmup,
+    )
+    from naz_tpu.mcmc.diagnostics import effective_sample_size
+
+    key = jax.random.PRNGKey(0)
+    lam = jax.random.uniform(key, (N_DATA, 2), minval=-1, maxval=1)
+    theta = jnp.stack(
+        [
+            lam[:, 0] + 0.3 * jax.random.normal(jax.random.PRNGKey(1), (N_DATA,)),
+            0.5 * lam[:, 1] + 0.2 * jax.random.normal(jax.random.PRNGKey(2), (N_DATA,)),
+        ],
+        -1,
+    )
+    kw = dict(n_layers=16, hidden_dims=(150, 150, 150), context_dim=2, seed=0)
+    flow16 = maf_flow(2, compute_dtype="bfloat16", **kw)
+    flow32 = maf_flow(2, **kw)
+    params = flow32.init_params(jax.random.PRNGKey(3))
+    bf32 = BayesianFlow(make_flow_loglik(flow32, theta, lam), params, scale_max=0.01)
+    bf16 = BayesianFlow(make_flow_loglik(flow16, theta, lam), params, scale_max=0.01)
+
+    cfg = ChEESConfig(
+        num_warmup=num_warmup, num_samples=num_samples,
+        num_chains=num_chains, seed=0, chain_exec="map",
+        steps_per_program=25, max_leapfrogs=64,
+    )
+    q0 = bf32.init_positions(jax.random.PRNGKey(4), num_chains, jitter=0.01)
+    t0 = time.time()
+    state = chees_init(bf32.potential, q0, cfg, bf16.potential)
+    state, winfo = chees_warmup(bf32.potential, state, cfg, bf16.potential)
+    print(f"ess-bench warmup: {time.time()-t0:.0f}s, "
+          f"eps={winfo['step_size']:.3g} T={winfo['traj_len']:.3g}", flush=True)
+    timings = []
+    state, samples, sinfo = chees_sample(
+        bf32.potential, state, cfg, bf16.potential, timings=timings
+    )
+    # drop the compile chunk, rate from the steady-state chunks
+    steady = timings[1:] if len(timings) > 1 else timings
+    wall = sum(t for _, t in steady)
+    n_draws = sum(n for n, _ in steady)
+    frac = n_draws / max(1, sum(n for n, _ in timings))
+
+    u = jnp.asarray(samples)  # (draws, chains, dim)
+    # chunked per-draw log-likelihood: a full vmap would materialize
+    # (draws x N x hidden) activations and blow HBM
+    ll_fn = jax.jit(
+        jax.vmap(
+            lambda q: bf32.log_likelihood_flat(bf32.constrain(q)["params_flat"])
+        )
+    )
+    flat = u.reshape(-1, u.shape[-1])
+    lls = [
+        np.asarray(ll_fn(flat[s : s + 8])) for s in range(0, flat.shape[0], 8)
+    ]
+    ll = jnp.asarray(np.concatenate(lls).reshape(u.shape[:-1]))
+    diag = jnp.concatenate([ll[..., None], u[..., :8]], axis=-1)
+    ess = np.asarray(effective_sample_size(diag))
+    # scale ESS to the draws actually timed in the steady-state window
+    ess_min_per_s = float(ess.min() * frac / wall)
+    grads_per_s = sinfo["num_grad_evals"] * frac / wall
+    return {
+        "metric": "ess_min_per_s",
+        "value": round(ess_min_per_s, 3),
+        "unit": (
+            "min-ESS/s post-warmup (ChEES mixed-precision, 16x[150]^3, "
+            f"N=190k, {num_chains} chains, {num_samples} draws)"
+        ),
+        "vs_baseline": 1.0,
+        "ess_min": round(float(ess.min()), 1),
+        "ess_median": round(float(np.median(ess)), 1),
+        "grads_per_s": round(float(grads_per_s), 1),
+        "step_size": round(float(state.step_size), 5),
+        "traj_len": round(float(state.traj_len), 4),
+    }
+
+
 def main():
     t_lo = timed(ITERS_LO)
     t_hi = timed(ITERS_HI)
     per_eval = (t_hi - t_lo) / (ITERS_HI - ITERS_LO)
     evals_per_s = 1.0 / per_eval
+
+    # self-calibrated composite bound: the backward+remat computes 3x the
+    # forward's matmul FLOPs at no better arithmetic intensity, so a grad
+    # eval cannot beat 4x the measured forward slope on the same machine
+    # (per-op account: PERFORMANCE.md "Roofline accounting").
+    tf_lo = timed(ITERS_LO, fwd_only=True)
+    tf_hi = timed(ITERS_HI, fwd_only=True)
+    per_fwd = (tf_hi - tf_lo) / (ITERS_HI - ITERS_LO)
+
+    try:
+        ess_line = bench_ess()
+        print(json.dumps(ess_line))
+    except Exception as e:  # ESS line is best-effort; headline must land
+        print(f"ess bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -98,6 +221,9 @@ def main():
                 "value": round(evals_per_s, 2),
                 "unit": "grad-evals/s (16x[150]^3 MAF, N=190k, bf16-compute)",
                 "vs_baseline": 1.0,
+                "effective_tflops": round(FLOPS_PER_GRAD * evals_per_s / 1e12, 1),
+                "fwd_ms": round(per_fwd * 1e3, 2),
+                "pct_of_4xfwd_bound": round(100.0 * 4 * per_fwd / per_eval, 1),
             }
         )
     )

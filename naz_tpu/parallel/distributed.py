@@ -21,7 +21,6 @@ import jax
 _COORDINATOR_ENV_VARS = (
     "JAX_COORDINATOR_ADDRESS",
     "COORDINATOR_ADDRESS",
-    "TPU_WORKER_HOSTNAMES",
     "MEGASCALE_COORDINATOR_ADDRESS",
     "SLURM_JOB_ID",
     "OMPI_MCA_orte_hnp_uri",
@@ -29,7 +28,12 @@ _COORDINATOR_ENV_VARS = (
 
 
 def _coordinator_configured() -> bool:
-    return any(os.environ.get(v) for v in _COORDINATOR_ENV_VARS)
+    if any(os.environ.get(v) for v in _COORDINATOR_ENV_VARS):
+        return True
+    # a worker LIST only signals multi-host when there is more than one
+    # worker (single-chip/single-VM TPU environments set it to one name)
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([w for w in workers.split(",") if w.strip()]) > 1
 
 
 def initialize_multihost(
