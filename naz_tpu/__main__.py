@@ -206,6 +206,12 @@ def main(argv=None):
         help="hard cap on leapfrog steps per ChEES trajectory (chees only; "
         "NUTS uses 2^--max-depth)",
     )
+    hp.add_argument(
+        "--curvature-init-mass", action="store_true",
+        help="initialize the diagonal mass matrix from Hutchinson curvature "
+        "probes at the MLE (chees only) — shortens warmup; adaptation "
+        "still refines it",
+    )
     hp.add_argument("--max-depth", type=int, default=10, help="NUTS tree depth cap")
     hp.add_argument(
         "--trace", default=None,
@@ -780,6 +786,7 @@ def main(argv=None):
                 checkpoint_dir=args.chckpt,
                 nbatch=args.nbatch,
                 lean=True,
+                curvature_init_mass=args.curvature_init_mass,
             )
         else:
             from naz_tpu.bayes import fit_nuts
@@ -801,6 +808,7 @@ def main(argv=None):
                 checkpoint_dir=args.chckpt,
                 nbatch=args.nbatch,
                 lean=True,
+                curvature_init_mass=args.curvature_init_mass,
             )
         _stack.close()  # flush the profiler trace before writing outputs
         np.savez(

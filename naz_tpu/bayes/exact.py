@@ -47,6 +47,7 @@ def fit_nuts(
     nbatch: int = 100,
     init_jitter: float = 0.1,
     lean: bool = False,
+    curvature_init_mass: bool = False,
 ) -> dict:
     """Sample the weight posterior with NUTS.
 
@@ -61,17 +62,25 @@ def fit_nuts(
     q0 = bayes_flow.init_positions(
         jax.random.PRNGKey(cfg.seed + 1), cfg.num_chains, jitter=init_jitter
     )
+    init_inv_mass = None
+    if curvature_init_mass:
+        init_inv_mass = bayes_flow.curvature_inv_mass(
+            jax.random.PRNGKey(cfg.seed + 2)
+        )
 
     if checkpoint_dir is not None:
         posterior = run_nuts_checkpointed(
-            bayes_flow.potential, q0, cfg, checkpoint_dir, nbatch=nbatch
+            bayes_flow.potential, q0, cfg, checkpoint_dir, nbatch=nbatch,
+            init_inv_mass=init_inv_mass,
         )
         u = jnp.asarray(posterior["q"])
         stats = {
             k: posterior[k] for k in ("accept_prob", "num_grad_evals", "diverging")
         }
     else:
-        _, batch, winfo = run_nuts(bayes_flow.potential, q0, cfg)
+        _, batch, winfo = run_nuts(
+            bayes_flow.potential, q0, cfg, init_inv_mass=init_inv_mass
+        )
         u = batch.q
         stats = {
             "accept_prob": np.asarray(batch.accept_prob),
@@ -108,12 +117,18 @@ def fit_chees(
     checkpoint_dir: Optional[str] = None,
     nbatch: int = 100,
     lean: bool = False,
+    curvature_init_mass: bool = False,
 ) -> dict:
     """Sample the weight posterior with ChEES-HMC (cross-chain adaptive
     trajectory length; ``naz_tpu.mcmc.chees``). Same return layout as
     :func:`fit_nuts`. Prefer this on TPU when running many chains: all
     chains integrate in lockstep (no per-chain tree divergence) and the
-    tuned trajectory avoids NUTS's rejected-subtree gradient waste."""
+    tuned trajectory avoids NUTS's rejected-subtree gradient waste.
+
+    ``curvature_init_mass``: initialize the diagonal mass from Hutchinson
+    curvature probes at the MLE (``BayesianFlow.curvature_inv_mass``)
+    instead of the identity — cuts the warmup spent discovering the MLE's
+    local scales (warmup still adapts)."""
     from naz_tpu.mcmc.chees import ChEESConfig, run_chees
 
     from naz_tpu.mcmc.chees import run_chees_checkpointed
@@ -122,10 +137,15 @@ def fit_chees(
     q0 = bayes_flow.init_positions(
         jax.random.PRNGKey(cfg.seed + 1), cfg.num_chains, jitter=init_jitter
     )
+    init_inv_mass = None
+    if curvature_init_mass:
+        init_inv_mass = bayes_flow.curvature_inv_mass(
+            jax.random.PRNGKey(cfg.seed + 2)
+        )
     if checkpoint_dir is not None:
         posterior = run_chees_checkpointed(
             bayes_flow.potential, q0, cfg, checkpoint_dir, nbatch=nbatch,
-            fast_potential=fast_potential,
+            fast_potential=fast_potential, init_inv_mass=init_inv_mass,
         )
         res = {
             "samples": jnp.asarray(posterior["q"]),
@@ -144,7 +164,10 @@ def fit_chees(
             "inv_mass": np.asarray(posterior["inv_mass"]),
         }
     else:
-        res = run_chees(bayes_flow.potential, q0, cfg, fast_potential=fast_potential)
+        res = run_chees(
+            bayes_flow.potential, q0, cfg, fast_potential=fast_potential,
+            init_inv_mass=init_inv_mass,
+        )
     u = jnp.asarray(res["samples"])  # (draws, chains, dim)
 
     out = bayes_flow.posterior_params(u, lean=lean)

@@ -203,6 +203,40 @@ class BayesianFlow:
         """Chains start at the MLE (standard = 0 <-> u = 0), jittered."""
         return jitter * jax.random.normal(key, (num_chains, self.dim))
 
+    def curvature_inv_mass(self, key, probes: int = 8, chunk: int = 4):
+        """Hutchinson estimate of 1/diag(Hessian U) at the MLE center —
+        a curvature-informed initial diagonal (inverse) mass matrix.
+
+        Each probe is one Hessian-vector product (~2 grad evals) with a
+        Rademacher vector v: diag(H) ~= E[v * Hv]. Warmup still adapts the
+        mass from cross-chain Welford estimates; starting from curvature
+        instead of the identity shortens the early windows (the step-size
+        search and first mass window otherwise fight the MLE's local
+        scales). Beyond-reference addition (the reference delegates warmup
+        wholly to numpyro's identity-init schedule)."""
+        g = jax.grad(self.potential)
+        u0 = jnp.zeros(self.dim)
+
+        def hvp(v):
+            return jax.jvp(g, (u0,), (v,))[1]
+
+        def probe_batch(k, n):
+            vs = jax.random.rademacher(k, (n, self.dim), dtype=u0.dtype)
+            return jax.vmap(lambda v: v * hvp(v))(vs)
+
+        keys = jax.random.split(key, -(-probes // chunk))
+        fn = jax.jit(probe_batch, static_argnums=1)
+        total = jnp.zeros(self.dim)
+        done = 0
+        for k in keys:
+            n = min(chunk, probes - done)
+            total = total + fn(k, n).sum(axis=0)
+            done += n
+        diag = jnp.abs(total / probes)
+        # floor tiny/zero curvature directions so the mass stays SPD
+        floor = 1e-6 * jnp.maximum(jnp.median(diag), 1e-30)
+        return 1.0 / jnp.maximum(diag, floor)
+
     # -- prior predictive --------------------------------------------------
 
     def sample_prior(self, key, num_samples: int):

@@ -144,10 +144,18 @@ def chees_init(
     q0: jnp.ndarray,
     cfg: ChEESConfig,
     fast_potential: Callable = None,
+    init_inv_mass: jnp.ndarray = None,
 ) -> ChEESState:
+    """``init_inv_mass``: optional starting diagonal inverse mass (e.g.
+    ``BayesianFlow.curvature_inv_mass``); defaults to the identity.
+    Warmup still adapts it."""
     U = jax.vmap(potential)(q0)  # exact energies
     grad = jax.vmap(jax.grad(fast_potential or potential))(q0)
     keys = jax.random.split(jax.random.PRNGKey(cfg.seed), q0.shape[0])
+    if init_inv_mass is None:
+        inv_mass = jnp.ones((q0.shape[-1],), q0.dtype)
+    else:
+        inv_mass = jnp.asarray(init_inv_mass, q0.dtype)
     return ChEESState(
         q=q0,
         U=U,
@@ -155,7 +163,7 @@ def chees_init(
         key=keys,
         step_size=jnp.asarray(cfg.init_step_size, q0.dtype),
         traj_len=jnp.asarray(cfg.init_traj_len, q0.dtype),
-        inv_mass=jnp.ones((q0.shape[-1],), q0.dtype),
+        inv_mass=inv_mass,
         iteration=jnp.zeros((), jnp.int32),
     )
 
@@ -454,6 +462,7 @@ def run_chees(
     q0: jnp.ndarray,
     cfg: ChEESConfig = ChEESConfig(),
     fast_potential: Callable = None,
+    init_inv_mass: jnp.ndarray = None,
 ) -> dict:
     """Warmup + sample. ``q0``: (chains, dim). Returns a dict with
     ``samples`` (draws, chains, dim) and adaptation/throughput info.
@@ -462,7 +471,7 @@ def run_chees(
     deterministic approximation (bf16-compute flow) as ``fast_potential``
     — leapfrog gradients run fast, accept energies stay exact, and the
     stationary distribution is exactly ``exp(-potential)``."""
-    state = chees_init(potential, q0, cfg, fast_potential)
+    state = chees_init(potential, q0, cfg, fast_potential, init_inv_mass)
     state, winfo = chees_warmup(potential, state, cfg, fast_potential)
     state, samples, sinfo = chees_sample(potential, state, cfg, fast_potential)
     return {
@@ -483,6 +492,7 @@ def run_chees_checkpointed(
     nbatch: int = 100,
     fast_potential: Callable = None,
     callback=None,
+    init_inv_mass: jnp.ndarray = None,
 ) -> dict:
     """Elastic checkpointed ChEES sampling (the reference's
     ``train_bayesian_flow`` semantics, ``bflow_jax_maf.py:355-404``, for
@@ -506,7 +516,7 @@ def run_chees_checkpointed(
     posterior_file = os.path.join(checkpoint_dir, "posterior.npz")
     warmup_file = os.path.join(checkpoint_dir, "warmup.json")
 
-    state = chees_init(potential, q0, cfg, fast_potential)
+    state = chees_init(potential, q0, cfg, fast_potential, init_inv_mass)
     posterior = None
     if os.path.exists(state_file):
         state = load_pytree(state_file, state)

@@ -134,13 +134,21 @@ def _make_step(pg, cfg: MCMCRunConfig):
 
 
 def init_chains(
-    potential: Callable, q0: jnp.ndarray, cfg: MCMCRunConfig
+    potential: Callable, q0: jnp.ndarray, cfg: MCMCRunConfig,
+    init_inv_mass: jnp.ndarray = None,
 ) -> ChainState:
-    """q0: (chains, dim) initial positions."""
+    """q0: (chains, dim) initial positions. ``init_inv_mass``: optional
+    (dim,) starting diagonal inverse mass (broadcast to all chains),
+    e.g. ``BayesianFlow.curvature_inv_mass``; warmup still adapts it."""
     pg = jax.value_and_grad(potential)
     U, grad = jax.vmap(pg)(q0)
     keys = jax.random.split(jax.random.PRNGKey(cfg.seed), q0.shape[0])
-    inv_mass = jnp.ones_like(q0)
+    if init_inv_mass is None:
+        inv_mass = jnp.ones_like(q0)
+    else:
+        inv_mass = jnp.broadcast_to(
+            jnp.asarray(init_inv_mass, q0.dtype), q0.shape
+        )
     step = jnp.full((q0.shape[0],), cfg.init_step_size, q0.dtype)
     return ChainState(q0, U, grad, keys, step, inv_mass)
 
@@ -333,9 +341,10 @@ def run_nuts(
     potential: Callable,
     q0: jnp.ndarray,
     cfg: MCMCRunConfig = MCMCRunConfig(),
+    init_inv_mass: jnp.ndarray = None,
 ) -> tuple[ChainState, SampleBatch, WarmupInfo]:
     """Warmup + sampling in one call. q0: (chains, dim)."""
-    state = init_chains(potential, q0, cfg)
+    state = init_chains(potential, q0, cfg, init_inv_mass)
     state, winfo = warmup_nuts(potential, state, cfg)
     state, batch = sample_nuts(potential, state, cfg.num_samples, cfg)
     return state, batch, winfo
@@ -348,6 +357,7 @@ def run_nuts_checkpointed(
     checkpoint_dir: str,
     nbatch: int = 100,
     callback: Optional[Callable] = None,
+    init_inv_mass: jnp.ndarray = None,
 ) -> dict:
     """Elastic checkpointed sampling (reference ``train_bayesian_flow``).
 
@@ -365,7 +375,7 @@ def run_nuts_checkpointed(
     state_file = os.path.join(checkpoint_dir, "mcmc_state.npz")
     posterior_file = os.path.join(checkpoint_dir, "posterior.npz")
 
-    state = init_chains(potential, q0, cfg)
+    state = init_chains(potential, q0, cfg, init_inv_mass)
     if os.path.exists(state_file):
         state = load_pytree(state_file, state)
         posterior = None

@@ -190,3 +190,46 @@ def test_chees_checkpoint_resume_exact(tmp_path):
         post_resumed["warmup_num_grad_evals"], post_full["warmup_num_grad_evals"]
     )
     np.testing.assert_allclose(post_resumed["step_size"], post_full["step_size"])
+
+
+def test_curvature_init_mass():
+    """Hutchinson curvature inverse-mass on an anisotropic Gaussian flow
+    posterior approximates the true inverse curvature, and ChEES started
+    from it reaches good acceptance within a SHORT warmup."""
+    from naz_tpu.bayes import BayesianFlow, make_flow_loglik
+    from naz_tpu.flows import maf_flow
+
+    # quadratic potential via a BayesianFlow-free check first: use the
+    # wrapper on a tiny flow, compare against jacfwd diag Hessian
+    flow = maf_flow(2, 1, (8,), seed=0)
+    p0 = flow.init_params(jax.random.PRNGKey(0))
+    p0 = jax.tree.map(
+        lambda a: a + 0.1 * jax.random.normal(jax.random.PRNGKey(7), a.shape), p0
+    )
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (256, 2))
+    bf = BayesianFlow(make_flow_loglik(flow, x), p0, scale_max=0.1)
+    inv_mass = np.asarray(bf.curvature_inv_mass(jax.random.PRNGKey(2), probes=64))
+    assert inv_mass.shape == (bf.dim,)
+    assert np.all(inv_mass > 0) and np.isfinite(inv_mass).all()
+
+    exact_diag = np.diag(
+        np.asarray(jax.jacfwd(jax.grad(bf.potential))(jnp.zeros(bf.dim)))
+    )
+    big = np.abs(exact_diag) > np.percentile(np.abs(exact_diag), 75)
+    # Hutchinson diag has O(1/sqrt(probes)) cross-terms; demand order-of-
+    # magnitude agreement on the well-curved quartile
+    ratio = inv_mass[big] * np.abs(exact_diag[big])
+    assert np.median(ratio) < 10 and np.median(ratio) > 0.1
+
+    # end-to-end: short-warmup ChEES with curvature init mixes on an
+    # anisotropic target
+    from naz_tpu.bayes.exact import fit_chees
+
+    out = fit_chees(
+        bf,
+        ChEESConfig(num_warmup=60, num_samples=60, num_chains=4, seed=0),
+        curvature_init_mass=True,
+        lean=True,
+    )
+    assert out["diagnostics"]["mean_accept_prob"] > 0.4
+    assert np.isfinite(out["log_likelihood"]).all()
