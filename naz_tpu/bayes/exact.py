@@ -33,11 +33,13 @@ def _loglik_of_draws(bayes_flow, u, chunk: int = 8):
             )
         )
     )
-    u2 = jnp.asarray(u).reshape(-1, u.shape[-1])
+    # keep the draws host-side (numpy): the full posterior is 15+ GB at the
+    # 4-param production scale; only a chunk at a time touches the device
+    u2 = np.asarray(u).reshape(-1, u.shape[-1])
     lls = []
     for s in range(0, u2.shape[0], chunk):
-        lls.append(np.asarray(ll_fn(u2[s : s + chunk])))
-    return jnp.asarray(np.concatenate(lls).reshape(u.shape[:-1]))
+        lls.append(np.asarray(ll_fn(jnp.asarray(u2[s : s + chunk]))))
+    return np.concatenate(lls).reshape(u.shape[:-1])
 
 
 def fit_nuts(
@@ -73,7 +75,7 @@ def fit_nuts(
             bayes_flow.potential, q0, cfg, checkpoint_dir, nbatch=nbatch,
             init_inv_mass=init_inv_mass,
         )
-        u = jnp.asarray(posterior["q"])
+        u = posterior["q"]  # host numpy; never device-resident in full
         stats = {
             k: posterior[k] for k in ("accept_prob", "num_grad_evals", "diverging")
         }
@@ -81,7 +83,7 @@ def fit_nuts(
         _, batch, winfo = run_nuts(
             bayes_flow.potential, q0, cfg, init_inv_mass=init_inv_mass
         )
-        u = batch.q
+        u = np.asarray(batch.q)
         stats = {
             "accept_prob": np.asarray(batch.accept_prob),
             "num_grad_evals": np.asarray(batch.num_grad_evals),
@@ -148,7 +150,7 @@ def fit_chees(
             fast_potential=fast_potential, init_inv_mass=init_inv_mass,
         )
         res = {
-            "samples": jnp.asarray(posterior["q"]),
+            "samples": posterior["q"],  # host numpy, streamed to device later
             # adaptation diagnostics are persisted in the warmup checkpoint
             # (chees.py warmup.json + state file), so a resumed run reports
             # the real values rather than NaN/0
@@ -168,7 +170,7 @@ def fit_chees(
             bayes_flow.potential, q0, cfg, fast_potential=fast_potential,
             init_inv_mass=init_inv_mass,
         )
-    u = jnp.asarray(res["samples"])  # (draws, chains, dim)
+    u = np.asarray(res["samples"])  # (draws, chains, dim) — host-side
 
     out = bayes_flow.posterior_params(u, lean=lean)
     ll = _loglik_of_draws(bayes_flow, u)

@@ -454,7 +454,12 @@ def chees_sample(
         if Ls
         else 0,
     }
-    return state, jnp.asarray(samples), info
+    # host (numpy) samples: re-materializing the full (draws, chains, dim)
+    # posterior on device is 15+ GB at the 4-param production scale (100
+    # draws x 2 chains x 19M weights) — more than the chip's HBM. Draws
+    # stream back to the device in chunks wherever they are consumed
+    # (posterior_params, _loglik_of_draws).
+    return state, samples, info
 
 
 def run_chees(

@@ -30,7 +30,13 @@ def split_rhat(samples: jnp.ndarray) -> jnp.ndarray:
     between = n * jnp.var(chain_mean, axis=0, ddof=1)
     within = jnp.mean(chain_var, axis=0)
     var_est = (n - 1) / n * within + between / n
-    return jnp.sqrt(var_est / within)
+    # a trace that is constant to float resolution (e.g. the log-likelihood
+    # projection of a tightly-concentrated weight posterior) has
+    # within == between == 0: report R-hat = 1, not 0/0 = NaN
+    degenerate = (within == 0) & (between == 0)
+    return jnp.where(
+        degenerate, 1.0, jnp.sqrt(var_est / jnp.where(degenerate, 1.0, within))
+    )
 
 
 def effective_sample_size(samples: jnp.ndarray) -> jnp.ndarray:

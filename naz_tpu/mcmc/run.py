@@ -326,14 +326,17 @@ def sample_nuts(
         if timings is not None:
             jax.block_until_ready(out[0])
             timings.append((length, _time.time() - _t0))
-        outs.append(out)
+        # stream each chunk's draws to the host: keeping every chunk's
+        # (length, chains, dim) buffer device-resident accumulates the FULL
+        # posterior in HBM (15+ GB at the 4-param production scale)
+        outs.append(jax.tree.map(np.asarray, out))
         if cfg.verbose:
             print(
                 f"[naz_tpu] sampling {min(s + length, num_samples)}/{num_samples}: "
-                f"accept {float(jnp.mean(out[1])):.3f}",
+                f"accept {float(np.mean(outs[-1][1])):.3f}",
                 flush=True,
             )
-    qs, acc, nev, div = (jnp.concatenate(parts) for parts in zip(*outs))
+    qs, acc, nev, div = (np.concatenate(parts) for parts in zip(*outs))
     return state, SampleBatch(qs, acc, nev, div)
 
 
