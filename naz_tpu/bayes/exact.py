@@ -20,12 +20,17 @@ from naz_tpu.mcmc.diagnostics import effective_sample_size, split_rhat
 from naz_tpu.mcmc.run import MCMCRunConfig, run_nuts, run_nuts_checkpointed
 
 
-def _loglik_of_draws(bayes_flow, u, chunk: int = 8):
+def _loglik_of_draws(bayes_flow, u, chunk: int = None):
     """Per-draw data log-likelihood, computed device-side straight from the
     unconstrained draws (no host round-trip of the flat weights — at
     production scale those are gigabytes over a remote tunnel). Chunked: a
     vmap over all draws would materialize (draws x N x hidden) activations
-    and blow HBM at reference scale."""
+    and blow HBM at reference scale. The default chunk scales inversely
+    with model complexity: 8 draws at the 2-D production shape (746k
+    weights), 1 at the 4-param shape (19M weights, where even one draw's
+    full-batch activations are GBs)."""
+    if chunk is None:
+        chunk = int(max(1, min(8, 6_000_000 // max(1, bayes_flow.complexity))))
     ll_fn = jax.jit(
         jax.vmap(
             lambda uu: bayes_flow.log_likelihood_flat(

@@ -271,7 +271,7 @@ class BayesianFlow:
 
     # -- posterior post-processing ----------------------------------------
 
-    def posterior_params(self, u_samples, chunk: int = 64, lean: bool = False):
+    def posterior_params(self, u_samples, chunk: int = None, lean: bool = False):
         """Map (..., dim) unconstrained draws to constrained posteriors.
 
         Returns dict with ``standard``, ``scale``, ``params_flat`` and
@@ -292,6 +292,11 @@ class BayesianFlow:
         """
         import numpy as np
 
+        if chunk is None:
+            # in+out device buffers are chunk x dim x 4 B each; keep them
+            # ~200 MB at the 4-param production shape (19M weights -> 2
+            # rows), full 64-row chunks at the 2-D shape (746k weights)
+            chunk = int(max(1, min(64, 48_000_000 // max(1, self.complexity))))
         u = np.asarray(u_samples)
         lead = u.shape[:-1]
         u2 = u.reshape((-1, u.shape[-1]))
