@@ -207,18 +207,27 @@ class BayesianFlow:
         """Hutchinson estimate of 1/diag(Hessian U) at the MLE center —
         a curvature-informed initial diagonal (inverse) mass matrix.
 
-        Each probe is one Hessian-vector product (~2 grad evals) with a
+        Each probe is one Hessian-vector product (2 grad evals) with a
         Rademacher vector v: diag(H) ~= E[v * Hv]. Warmup still adapts the
         mass from cross-chain Welford estimates; starting from curvature
         instead of the identity shortens the early windows (the step-size
         search and first mass window otherwise fight the MLE's local
         scales). Beyond-reference addition (the reference delegates warmup
-        wholly to numpyro's identity-init schedule)."""
+        wholly to numpyro's identity-init schedule).
+
+        The HVP is a central finite difference of the gradient,
+        (g(u0+eps*v) - g(u0-eps*v)) / (2*eps), not forward-over-reverse
+        ``jax.jvp(grad)``: the fused Pallas density kernels define custom
+        VJPs only, and forward-mode through a ``custom_vjp`` cannot lower
+        — same 2-grad-evals cost, exact on quadratics, and works for any
+        potential (Pallas, bf16 twins, ...). eps=1e-3 in unconstrained
+        u-space (O(1) coordinates under the multiplicative reparam)."""
         g = jax.grad(self.potential)
         u0 = jnp.zeros(self.dim)
+        eps = 1e-3
 
         def hvp(v):
-            return jax.jvp(g, (u0,), (v,))[1]
+            return (g(u0 + eps * v) - g(u0 - eps * v)) / (2.0 * eps)
 
         def probe_batch(k, n):
             vs = jax.random.rademacher(k, (n, self.dim), dtype=u0.dtype)

@@ -340,18 +340,29 @@ def chees_warmup(
             carry.wf,
         )
 
-        # window close: adopt variance, restart DA and Welford
+        # window close: adopt variance, re-probe the step size under the
+        # NEW metric (Stan's init_stepsize-after-metric-update), restart DA
+        # and Welford. Restarting DA at the old step is not enough: the
+        # metric swap rescales the stable step arbitrarily, and with a
+        # short terminal buffer the averaged step never recovers (measured:
+        # curvature-initialized warmup on a flow posterior ended with
+        # accept ~0.001 from exactly this).
         def close(args):
-            da, wf = args
+            da, wf, q_now, k_now = args
             inv_mass = welford_variance(wf)
-            return da_init(jnp.exp(da.log_step)), welford_init(dim), inv_mass
+            step = find_reasonable_step_size(
+                pg, q_now[0], jax.random.fold_in(k_now[0], 7), inv_mass,
+                init_step=jnp.exp(da.log_step),
+            )
+            return da_init(step), welford_init(dim), inv_mass
 
         def keep(args):
-            da, wf = args
+            da, wf, _q, _k = args
             return da, wf, state.inv_mass
 
         da, wf, inv_mass = lax.cond(
-            wend if cfg.adapt_mass else jnp.asarray(False), close, keep, (da, wf)
+            wend if cfg.adapt_mass else jnp.asarray(False),
+            close, keep, (da, wf, q, k_next),
         )
 
         new_state = ChEESState(

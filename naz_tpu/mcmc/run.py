@@ -218,14 +218,33 @@ def warmup_nuts(
             lambda new, old: jnp.where(slow, new, old), wf, carry["wf"]
         )
 
-        # window close: set mass from variance, reset welford, restart DA
+        # window close: set mass from variance, re-probe the step size
+        # under the NEW metric (Stan's init_stepsize after a metric
+        # update), reset welford, restart DA from the probed step. A DA
+        # restart at the old step is not enough — the metric swap rescales
+        # the stable step arbitrarily, and a short terminal buffer cannot
+        # re-converge from a bad restart (see chees_warmup for the
+        # measured failure mode).
         new_inv_mass = jax.vmap(welford_variance)(wf)
         inv_mass = jnp.where(
             wend & cfg.adapt_mass, new_inv_mass, carry["inv_mass"]
         )
         wf = jax.tree.map(lambda z, w: jnp.where(wend, z, w), wf_zero, wf)
-        da_restart = jax.vmap(da_init)(jnp.exp(da.log_step))
-        da = jax.tree.map(lambda r, d: jnp.where(wend, r, d), da_restart, da)
+
+        def _close(args):
+            da_c, q_c, k_c, im_c = args
+            step0 = jax.vmap(
+                lambda qq, kk, imm, s0: find_reasonable_step_size(
+                    pg, qq, kk, imm, init_step=s0
+                )
+            )(q_c, k_c, im_c, jnp.exp(da_c.log_step))
+            return jax.vmap(da_init)(step0)
+
+        def _keep(args):
+            return args[0]
+
+        k_probe = jax.vmap(lambda k: jax.random.fold_in(k, 7))(k_next)
+        da = lax.cond(wend, _close, _keep, (da, q, k_probe, inv_mass))
 
         carry = dict(
             q=q,
@@ -328,15 +347,19 @@ def sample_nuts(
             timings.append((length, _time.time() - _t0))
         # stream each chunk's draws to the host: keeping every chunk's
         # (length, chains, dim) buffer device-resident accumulates the FULL
-        # posterior in HBM (15+ GB at the 4-param production scale)
-        outs.append(jax.tree.map(np.asarray, out))
-        if cfg.verbose:
+        # posterior in HBM (15+ GB at the 4-param production scale). Under
+        # an outer trace (e.g. SBC vmaps whole runs) the values are
+        # tracers — leave them symbolic.
+        traced = isinstance(jax.tree.leaves(out)[0], jax.core.Tracer)
+        outs.append(out if traced else jax.tree.map(np.asarray, out))
+        if cfg.verbose and not traced:
             print(
                 f"[naz_tpu] sampling {min(s + length, num_samples)}/{num_samples}: "
                 f"accept {float(np.mean(outs[-1][1])):.3f}",
                 flush=True,
             )
-    qs, acc, nev, div = (np.concatenate(parts) for parts in zip(*outs))
+    cat = jnp.concatenate if traced else np.concatenate
+    qs, acc, nev, div = (cat(parts) for parts in zip(*outs))
     return state, SampleBatch(qs, acc, nev, div)
 
 
