@@ -51,6 +51,40 @@ _MM_COLS = 4 * 150 + 150 * 150 + 150 * 150 + 150 * 4
 FLOPS_PER_GRAD = 4 * 2 * N_DATA * _MM_COLS * 16
 
 
+def wait_for_chip(max_wait_s=1800, poll_s=30):
+    """Block until this process owns the TPU. Benchmarking while another
+    process holds the chip poisons every number (round-2's bench overlapped
+    a production run's tail: a 22 s compile line ballooned to 1136 s —
+    PERFORMANCE.md "Wall-clock hygiene"). On this runtime a second process
+    touching the device raises (FailedPrecondition) rather than timeshare,
+    so "can we run one tiny op" is exactly "is the chip free"."""
+    t0 = time.time()
+    while True:
+        try:
+            # contention does not always raise — a co-resident process
+            # timeshares and inflates dispatch latency by orders of
+            # magnitude instead (round-2's symptom). Probe 3x, judge the
+            # BEST latency against a generous tunnel-overhead budget.
+            best = float("inf")
+            for _ in range(3):
+                t = time.time()
+                jax.block_until_ready(jnp.zeros((8,)) + 1.0)
+                best = min(best, time.time() - t)
+            if best < 5.0:
+                return
+            reason = f"tiny-op latency {best:.1f}s"
+        except Exception as e:
+            reason = f"{type(e).__name__}: {e}"
+        waited = time.time() - t0
+        if waited > max_wait_s:
+            raise RuntimeError(f"chip still busy after {waited:.0f}s: {reason}")
+        print(
+            f"bench: chip busy ({reason}), retrying in {poll_s}s",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(poll_s)
+
+
 def make_runner(n_iters, fwd_only=False):
     from naz_tpu.bayes import BayesianFlow, make_flow_loglik
     from naz_tpu.flows import maf_flow
@@ -107,13 +141,18 @@ def timed(n_iters, fwd_only=False):
     return best
 
 
-def bench_ess(num_warmup=150, num_samples=200, num_chains=2):
+def bench_ess(num_warmup=400, num_samples=300, num_chains=4):
     """Post-warmup ESS_min/s at the production config: ChEES with bf16
     leapfrog gradients and exact f32 accept energies (the production
     recommendation). Timing from the sampling-phase chunk wall clocks,
     excluding the compile chunk (slope methodology at the chunk level).
     ESS over the standard diagnostic projection (log-likelihood trace +
-    first 8 coordinates), min across the projection."""
+    first 8 coordinates), min across the projection.
+
+    Statistical validity gate (VERDICT r2): 4 chains x 300 draws with a
+    real 400-step warmup, split-R-hat reported alongside, and the line is
+    REFUSED (stderr, no JSON) if R-hat_max > 1.1 — an ESS estimated from
+    unmixed chains is garbage and must not land in BENCH_r{N}.json."""
     import numpy as np
 
     from naz_tpu.bayes import BayesianFlow, make_flow_loglik
@@ -121,7 +160,7 @@ def bench_ess(num_warmup=150, num_samples=200, num_chains=2):
     from naz_tpu.mcmc.chees import (
         ChEESConfig, chees_init, chees_sample, chees_warmup,
     )
-    from naz_tpu.mcmc.diagnostics import effective_sample_size
+    from naz_tpu.mcmc.diagnostics import effective_sample_size, split_rhat
 
     key = jax.random.PRNGKey(0)
     lam = jax.random.uniform(key, (N_DATA, 2), minval=-1, maxval=1)
@@ -175,6 +214,12 @@ def bench_ess(num_warmup=150, num_samples=200, num_chains=2):
     ll = jnp.asarray(np.concatenate(lls).reshape(u.shape[:-1]))
     diag = jnp.concatenate([ll[..., None], u[..., :8]], axis=-1)
     ess = np.asarray(effective_sample_size(diag))
+    rhat = np.asarray(split_rhat(diag))
+    if float(rhat.max()) > 1.1:
+        raise RuntimeError(
+            f"ess bench not converged (split-Rhat max {float(rhat.max()):.2f} "
+            "> 1.1); refusing to report an ESS rate from unmixed chains"
+        )
     # scale ESS to the draws actually timed in the steady-state window
     ess_min_per_s = float(ess.min() * frac / wall)
     grads_per_s = sinfo["num_grad_evals"] * frac / wall
@@ -188,6 +233,7 @@ def bench_ess(num_warmup=150, num_samples=200, num_chains=2):
         "vs_baseline": 1.0,
         "ess_min": round(float(ess.min()), 1),
         "ess_median": round(float(np.median(ess)), 1),
+        "split_rhat_max": round(float(rhat.max()), 4),
         "grads_per_s": round(float(grads_per_s), 1),
         "step_size": round(float(state.step_size), 5),
         "traj_len": round(float(state.traj_len), 4),
@@ -195,6 +241,7 @@ def bench_ess(num_warmup=150, num_samples=200, num_chains=2):
 
 
 def main():
+    wait_for_chip()
     t_lo = timed(ITERS_LO)
     t_hi = timed(ITERS_HI)
     per_eval = (t_hi - t_lo) / (ITERS_HI - ITERS_LO)

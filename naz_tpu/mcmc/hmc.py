@@ -107,11 +107,14 @@ def find_reasonable_step_size(
     init_step: float = 1.0,
     target: float = 0.8,
     max_iters: int = 60,
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Stan's heuristic: double/halve until accept prob crosses the target.
 
     Uses a single leapfrog step's energy change; runs as a bounded
-    ``while_loop`` so it vmaps over chains.
+    ``while_loop`` so it vmaps over chains. Returns ``(step, n_evals)``
+    where ``n_evals`` counts the gradient evaluations spent probing (each
+    trial step is one leapfrog = one grad eval) — callers fold it into
+    their warmup grad-eval diagnostics.
     """
     U0, grad0 = potential_and_grad(q)
     r0 = jax.random.normal(key, q.shape) / jnp.sqrt(inv_mass)
@@ -136,5 +139,8 @@ def find_reasonable_step_size(
         step, i = carry
         return step * jnp.where(direction > 0, 2.0, 0.5), i + 1
 
-    step, _ = lax.while_loop(cond, body, (jnp.asarray(init_step, q.dtype), 0))
-    return step
+    step, iters = lax.while_loop(
+        cond, body, (jnp.asarray(init_step, q.dtype), jnp.zeros((), jnp.int32))
+    )
+    # 1 eval for (U0, grad0), 1 for p0, and one per cond evaluation
+    return step, iters + 3

@@ -56,6 +56,15 @@ def _weighted_cov(samples, weights):
             "KDE needs more than one (effective) sample; got n="
             f"{samples.shape[0]}"
         )
+    # a weight vector dominated by one sample (n_eff -> 1) makes the
+    # bias correction divide by ~0 and every downstream pdf silently NaN;
+    # raise when the weights are concrete (outside jit) instead
+    if not isinstance(denom, jax.core.Tracer) and float(denom) <= 1e-6:
+        raise ValueError(
+            "KDE weights are degenerate: effective sample size "
+            f"1/sum(w^2) = {1.0 / float(jnp.sum(weights ** 2)):.3f} <= 1 "
+            "— no covariance estimate exists"
+        )
     return cov / jnp.maximum(denom, jnp.finfo(cov.dtype).tiny)
 
 

@@ -233,3 +233,107 @@ def test_curvature_init_mass():
     )
     assert out["diagnostics"]["mean_accept_prob"] > 0.4
     assert np.isfinite(out["log_likelihood"]).all()
+
+
+def test_chees_small_chain_count_guard():
+    """ChEES's criterion is a cross-chain expectation: <2 chains is an
+    error, 2-3 chains warns (the production 2-chain run collapsed T by
+    e^-6 and froze; VERDICT r2 item 3)."""
+    U = _gaussian_potential([1.0, 2.0])
+    cfg = ChEESConfig(num_warmup=5, num_samples=5, num_chains=1, seed=0)
+    with pytest.raises(ValueError, match="at least 2 chains"):
+        chees_init(U, jnp.zeros((1, 2)), cfg)
+    with pytest.warns(UserWarning, match="fewer than 4|2 chains"):
+        chees_init(U, 0.1 * jnp.ones((2, 2)), cfg)
+
+
+def test_chees_two_chains_no_trajectory_collapse():
+    """Regression for the 19M-weight production failure: with only 2
+    chains the ChEES gradient is a noisy 2-sample estimate and Adam used
+    to random-walk T down by orders of magnitude (T=0.0022 with eps~4e-4
+    -> frozen chains, split-Rhat 30-365). The trust-regioned update +
+    min-leapfrog floor must keep T at a usable scale."""
+    scales = jnp.array([1.0, 3.0, 0.5, 2.0, 1.5, 0.8])
+    U = _gaussian_potential(scales)
+    cfg = ChEESConfig(
+        num_warmup=300, num_samples=50, num_chains=2, seed=3,
+        init_step_size=0.5, max_leapfrogs=128,
+    )
+    q0 = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (2, 6))
+    with pytest.warns(UserWarning):
+        out = run_chees(U, q0, cfg)
+    # orders-of-magnitude collapse means T ~ eps (1 leapfrog); require a
+    # healthy multiple of the step size and an absolute floor
+    assert out["traj_len"] > 4 * out["step_size"]
+    assert out["traj_len"] > 0.05 * float(scales.max())
+
+
+def test_chees_min_leapfrogs_floor():
+    """min_leapfrogs bounds both the per-iteration leapfrog count and the
+    adaptation's lower clip on T."""
+    U = _gaussian_potential([1.0, 2.0])
+    cfg = ChEESConfig(
+        num_warmup=60, num_samples=30, num_chains=4, seed=0,
+        min_leapfrogs=8, max_leapfrogs=64, init_traj_len=0.01,
+        init_step_size=0.5,
+    )
+    q0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (4, 2))
+    out = run_chees(U, q0, cfg)
+    assert int(np.min(out["sampling"]["num_leapfrogs"])) >= 8
+    assert out["traj_len"] >= 8 * out["step_size"] * 0.99
+
+
+def test_chees_reprobe_after_terminal_metric_swap():
+    """Regression pin for the window-close step-size re-probe (commit
+    06f7e44 / VERDICT r2 weak #6): a 120-step warmup has a ~12-step
+    terminal buffer; on a target whose scales span 3 orders of magnitude
+    the final mass-matrix swap rescales the stable step by ~30x, and
+    restarting dual averaging at the old step used to leave accept ~0.
+    With the re-probe, post-warmup acceptance must sit near the target."""
+    scales = jnp.array([30.0, 1.0, 1.0, 0.03])
+    U = _gaussian_potential(scales)
+    cfg = ChEESConfig(
+        num_warmup=120, num_samples=150, num_chains=8, seed=5,
+        init_step_size=0.1, max_leapfrogs=96,
+    )
+    q0 = jax.random.normal(jax.random.PRNGKey(2), (8, 4)) * jnp.array(
+        [30.0, 1.0, 1.0, 0.03]
+    )
+    out = run_chees(U, q0, cfg)
+    acc = float(np.mean(out["sampling"]["accept_prob"]))
+    assert 0.35 < acc < 0.98, f"post-warmup accept collapsed: {acc}"
+
+
+def test_chees_warmup_counts_probe_evals():
+    """Step-size probes at init and window closes are real gradient work
+    and must appear in the warmup eval count (ADVICE r2)."""
+    U = _gaussian_potential([1.0, 2.0])
+    cfg = ChEESConfig(num_warmup=80, num_samples=1, num_chains=4, seed=0)
+    q0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (4, 2))
+    state = chees_init(U, q0, cfg)
+    _, info = chees_warmup(U, state, cfg)
+    # lockstep leapfrogs alone are a multiple of num_chains; the
+    # single-chain probe counts break that divisibility in general, and
+    # the total must exceed the pure-leapfrog floor of 1 grad/step/chain
+    assert info["num_grad_evals"] > cfg.num_warmup * cfg.num_chains
+
+
+def test_chees_T_not_ratcheted_by_transient_eps_collapse():
+    """The observed r2 failure mechanism in isolation: if the step size
+    transiently collapses early in warmup, the upper T clip
+    (max_leapfrogs * eps) must not permanently drag the carried T down
+    with it. Simulate by starting DA from a catastrophically small probed
+    step (tiny init_step_size on a well-scaled target -> DA recovers eps
+    upward); T must end at a healthy multiple of the final eps, not at
+    the tiny-eps ceiling it briefly implied."""
+    U = _gaussian_potential([1.0, 2.0, 1.5, 0.7])
+    cfg = ChEESConfig(
+        num_warmup=300, num_samples=50, num_chains=8, seed=2,
+        init_step_size=1e-5, max_leapfrogs=32, init_traj_len=1.0,
+    )
+    q0 = jax.random.normal(jax.random.PRNGKey(4), (8, 4)) * jnp.array(
+        [1.0, 2.0, 1.5, 0.7]
+    )
+    out = run_chees(U, q0, cfg)
+    # old behavior: T pinned near max_leapfrogs * eps_early ~ 3e-4
+    assert out["traj_len"] > 0.1, (out["traj_len"], out["step_size"])

@@ -102,3 +102,14 @@ def test_ppd_kde_bands_bounded_and_chunk_pad():
     assert np.all(pdfs >= 0)
     norms = np.trapezoid(pdfs, grid, axis=-1)
     np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
+
+
+def test_kde_degenerate_weights_raise():
+    """One dominant weight (n_eff -> 1) must raise, not emit NaN pdfs
+    (ADVICE r1/r2: the n<=1 guard alone missed the weighted case)."""
+    rng = np.random.default_rng(0)
+    s = rng.normal(size=(50, 2))
+    w = np.full(50, 1e-12)
+    w[3] = 1.0
+    with pytest.raises(ValueError, match="degenerate"):
+        gaussian_kde_pdf(s[:5], s, weights=w)
