@@ -22,5 +22,5 @@ exec python -u -m naz_tpu hmc \
   --kernel chees --num-warmup 1000 --num-samples 1000 --num-chains 4 \
   --chain-exec map --sigma 0.01 --curvature-init-mass \
   --min-leapfrogs 4 --max-leapfrogs 128 --steps-per-program 8 \
-  --chckpt __run_2d__/ckpt --nbatch 100 \
-  --out-thin 8 --out __run_2d__/post_2d.npz
+  --chckpt __run_2d__/ckpt --nbatch 200 \
+  --thin-draws 8 --out-thin 1 --out __run_2d__/post_2d.npz

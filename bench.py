@@ -85,7 +85,7 @@ def wait_for_chip(max_wait_s=1800, poll_s=30):
         time.sleep(poll_s)
 
 
-def make_runner(n_iters, fwd_only=False):
+def make_runner(n_iters, fwd_only=False, remat=True):
     from naz_tpu.bayes import BayesianFlow, make_flow_loglik
     from naz_tpu.flows import maf_flow
 
@@ -101,7 +101,7 @@ def make_runner(n_iters, fwd_only=False):
 
     flow = maf_flow(
         2, n_layers=16, hidden_dims=(150, 150, 150), context_dim=2, seed=0,
-        compute_dtype="bfloat16",
+        compute_dtype="bfloat16", remat=remat,
     )
     params = flow.init_params(jax.random.PRNGKey(3))
     bf = BayesianFlow(make_flow_loglik(flow, theta, lam), params, scale_max=0.01)
@@ -124,12 +124,13 @@ def make_runner(n_iters, fwd_only=False):
     return run, q0
 
 
-def timed(n_iters, fwd_only=False):
-    run, q0 = make_runner(n_iters, fwd_only)
+def timed(n_iters, fwd_only=False, remat=True):
+    run, q0 = make_runner(n_iters, fwd_only, remat=remat)
     t0 = time.time()
     acc = float(run(q0, 1e-12))  # compile + warm
     print(
-        f"iters={n_iters}{' (fwd)' if fwd_only else ''}: "
+        f"iters={n_iters}{' (fwd)' if fwd_only else ''}"
+        f"{'' if remat else ' (no-remat)'}: "
         f"compile+run {time.time()-t0:.0f}s",
         flush=True,
     )
@@ -182,16 +183,21 @@ def bench_ess(num_warmup=400, num_samples=300, num_chains=4):
         num_warmup=num_warmup, num_samples=num_samples,
         num_chains=num_chains, seed=0, chain_exec="map",
         steps_per_program=25, max_leapfrogs=64,
+        # lean sampling: per-draw scalar traces (exact energy + first-8
+        # coords) feed the ESS/R-hat below; full 2.98 MB position vectors
+        # stream only every 25th draw, so the bench measures the sampler,
+        # not the remote tunnel's device->host bandwidth
+        thin_draws=25,
     )
     q0 = bf32.init_positions(jax.random.PRNGKey(4), num_chains, jitter=0.01)
     t0 = time.time()
-    state = chees_init(bf32.potential, q0, cfg, bf16.potential)
-    state, winfo = chees_warmup(bf32.potential, state, cfg, bf16.potential)
+    state = chees_init(bf32.potential_centered, q0, cfg, bf16.potential_centered)
+    state, winfo = chees_warmup(bf32.potential_centered, state, cfg, bf16.potential_centered)
     print(f"ess-bench warmup: {time.time()-t0:.0f}s, "
           f"eps={winfo['step_size']:.3g} T={winfo['traj_len']:.3g}", flush=True)
     timings = []
     state, samples, sinfo = chees_sample(
-        bf32.potential, state, cfg, bf16.potential, timings=timings
+        bf32.potential_centered, state, cfg, bf16.potential_centered, timings=timings
     )
     # drop the compile chunk, rate from the steady-state chunks
     steady = timings[1:] if len(timings) > 1 else timings
@@ -199,20 +205,12 @@ def bench_ess(num_warmup=400, num_samples=300, num_chains=4):
     n_draws = sum(n for n, _ in steady)
     frac = n_draws / max(1, sum(n for n, _ in timings))
 
-    u = jnp.asarray(samples)  # (draws, chains, dim)
-    # chunked per-draw log-likelihood: a full vmap would materialize
-    # (draws x N x hidden) activations and blow HBM
-    ll_fn = jax.jit(
-        jax.vmap(
-            lambda q: bf32.log_likelihood_flat(bf32.constrain(q)["params_flat"])
-        )
+    # diagnostics from the per-draw scalar traces: exact potential energy
+    # (= -log posterior up to a constant, the same scalar family the old
+    # ll-recompute produced) + first-8 coordinates
+    diag = np.concatenate(
+        [sinfo["energy"][..., None], sinfo["q8"]], axis=-1
     )
-    flat = u.reshape(-1, u.shape[-1])
-    lls = [
-        np.asarray(ll_fn(flat[s : s + 8])) for s in range(0, flat.shape[0], 8)
-    ]
-    ll = jnp.asarray(np.concatenate(lls).reshape(u.shape[:-1]))
-    diag = jnp.concatenate([ll[..., None], u[..., :8]], axis=-1)
     ess = np.asarray(effective_sample_size(diag))
     rhat = np.asarray(split_rhat(diag))
     if float(rhat.max()) > 1.1:

@@ -219,6 +219,15 @@ def main(argv=None):
         "at production scale full weight posteriors are tens of GB",
     )
     hp.add_argument(
+        "--thin-draws", type=int, default=1,
+        help="chees only: thin the full weight vectors ON DEVICE during "
+        "sampling — keep every Nth draw's positions, stream only scalar "
+        "diagnostics (exact energy, first-8 coords) per draw. At "
+        "production scale the remote device->host link is the sampling "
+        "bottleneck (~76 MB/draw at 19M weights); R-hat/ESS use the full "
+        "scalar traces either way",
+    )
+    hp.add_argument(
         "--curvature-init-mass", action="store_true",
         help="initialize the diagonal mass matrix from Hutchinson curvature "
         "probes at the MLE (chees only) — shortens warmup; adaptation "
@@ -770,7 +779,7 @@ def main(argv=None):
                 # mixed precision: the bf16 flow drives leapfrog gradients;
                 # accept energies come from an exact f32 twin, so the
                 # posterior is exactly the f32 one
-                fast_potential = bf.potential
+                fast_potential = bf.potential_centered
                 a32 = copy.copy(args)
                 a32.compute_dtype = None
                 flow32 = _build_flow(a32, theta, lam)
@@ -793,6 +802,7 @@ def main(argv=None):
                     steps_per_program=args.steps_per_program,
                     max_leapfrogs=args.max_leapfrogs,
                     min_leapfrogs=args.min_leapfrogs,
+                    thin_draws=args.thin_draws,
                     verbose=True,
                 ),
                 fast_potential=fast_potential,

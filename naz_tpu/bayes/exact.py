@@ -80,6 +80,14 @@ def _streamed_posterior(bayes_flow, u_batches, out_thin: int, lean: bool):
     return out
 
 
+def _has_checkpoint(checkpoint_dir, state_name: str) -> bool:
+    import os
+
+    return checkpoint_dir is not None and os.path.exists(
+        os.path.join(checkpoint_dir, state_name)
+    )
+
+
 def fit_nuts(
     bayes_flow: BayesianFlow,
     cfg: MCMCRunConfig = MCMCRunConfig(),
@@ -108,15 +116,17 @@ def fit_nuts(
         jax.random.PRNGKey(cfg.seed + 1), cfg.num_chains, jitter=init_jitter
     )
     init_inv_mass = None
-    if curvature_init_mass:
+    if curvature_init_mass and not _has_checkpoint(checkpoint_dir, "mcmc_state.npz"):
+        # on resume the checkpointed state (with its adapted mass) wins;
+        # don't pay the probe compiles + gradient evals for a discarded init
         init_inv_mass = bayes_flow.curvature_inv_mass(
             jax.random.PRNGKey(cfg.seed + 2)
         )
 
     if checkpoint_dir is not None:
         posterior = run_nuts_checkpointed(
-            bayes_flow.potential, q0, cfg, checkpoint_dir, nbatch=nbatch,
-            init_inv_mass=init_inv_mass, assemble=False,
+            bayes_flow.potential_centered, q0, cfg, checkpoint_dir,
+            nbatch=nbatch, init_inv_mass=init_inv_mass, assemble=False,
         )
         u_batches = (np.load(f)["q"] for f in posterior["batch_files"])
         stats = {
@@ -125,7 +135,7 @@ def fit_nuts(
         stats["warmup_grad_evals"] = int(posterior["warmup_num_grad_evals"])
     else:
         _, batch, winfo = run_nuts(
-            bayes_flow.potential, q0, cfg, init_inv_mass=init_inv_mass
+            bayes_flow.potential_centered, q0, cfg, init_inv_mass=init_inv_mass
         )
         u_batches = [np.asarray(batch.q)]
         stats = {
@@ -177,17 +187,28 @@ def fit_chees(
         jax.random.PRNGKey(cfg.seed + 1), cfg.num_chains, jitter=init_jitter
     )
     init_inv_mass = None
-    if curvature_init_mass:
+    if curvature_init_mass and not _has_checkpoint(checkpoint_dir, "chees_state.npz"):
         init_inv_mass = bayes_flow.curvature_inv_mass(
             jax.random.PRNGKey(cfg.seed + 2)
         )
     if checkpoint_dir is not None:
         posterior = run_chees_checkpointed(
-            bayes_flow.potential, q0, cfg, checkpoint_dir, nbatch=nbatch,
+            bayes_flow.potential_centered, q0, cfg, checkpoint_dir, nbatch=nbatch,
             fast_potential=fast_potential, init_inv_mass=init_inv_mass,
             assemble=False,
         )
-        u_batches = (np.load(f)["q"] for f in posterior["batch_files"])
+        lean_mode = posterior.get("energy") is not None
+
+        def _pairs():
+            # per batch: (kept positions, their exact accept-time energies)
+            for f in posterior["batch_files"]:
+                with np.load(f) as z:
+                    if lean_mode:
+                        yield z["q"], z["energy"][z["kept_idx"]]
+                    else:
+                        yield z["q"], None
+
+        u_batches = _pairs()
         res = {
             # adaptation diagnostics are persisted in the warmup checkpoint
             # (chees.py warmup.json + state file), so a resumed run reports
@@ -198,6 +219,8 @@ def fit_chees(
                 "num_leapfrogs": posterior["num_leapfrogs"],
                 "num_grad_evals": int(np.sum(posterior["num_leapfrogs"]))
                 * q0.shape[0],
+                "energy": posterior.get("energy"),
+                "q8": posterior.get("q8"),
             },
             "step_size": float(posterior["step_size"]),
             "traj_len": float(posterior["traj_len"]),
@@ -205,12 +228,64 @@ def fit_chees(
         }
     else:
         res = run_chees(
-            bayes_flow.potential, q0, cfg, fast_potential=fast_potential,
+            bayes_flow.potential_centered, q0, cfg, fast_potential=fast_potential,
             init_inv_mass=init_inv_mass,
         )
-        u_batches = [np.asarray(res["samples"])]  # (draws, chains, dim), host
+        sinfo = res["sampling"]
+        if sinfo.get("energy") is not None:
+            u_batches = [
+                (
+                    np.asarray(res["samples"]),
+                    np.asarray(sinfo["energy"])[np.asarray(sinfo["kept_idx"])],
+                )
+            ]
+        else:
+            u_batches = [(np.asarray(res["samples"]), None)]
 
-    out = _streamed_posterior(bayes_flow, u_batches, out_thin, lean)
+    if res["sampling"].get("energy") is not None:
+        # Lean sampling (cfg.thin_draws > 1): the sampler already thinned
+        # the positions on device and streamed per-draw scalar traces, so
+        # post-processing is PURE HOST WORK — constrained outputs via the
+        # numpy constrain twin, and the kept draws' log-likelihoods
+        # recovered exactly from the identity
+        #   energy = -(ll + log_det_centered + log_prior)
+        # (the sampler's exact accept-time energies). No draw crosses the
+        # tunnel again; the old device passes cost ~50 min per production
+        # posterior in transfers alone.
+        us, es = [], []
+        seen = 0
+        for u, e in u_batches:
+            idx = [i for i in range(u.shape[0]) if (seen + i) % out_thin == 0]
+            us.append(np.asarray(u)[idx])
+            es.append(np.asarray(e)[idx])
+            seen += u.shape[0]
+        u_kept = np.concatenate(us)
+        e_kept = np.concatenate(es)
+        c = bayes_flow.constrain_host(u_kept, centered=True)
+        out = {
+            "scale": c["scale"],
+            "params_flat": c["params_flat"],
+            "thin": cfg.thin_draws * out_thin,
+            "energy": np.asarray(res["sampling"]["energy"]),
+            "log_likelihood": -(e_kept + c["log_det"] + c["log_prior"]),
+        }
+        if not lean:
+            out["standard"] = c["standard"]
+            out["params"] = jax.vmap(jax.vmap(bayes_flow.unravel))(
+                jnp.asarray(c["params_flat"])
+            )
+        q8 = np.asarray(res["sampling"]["q8"])
+        diag_axis = np.concatenate(
+            [out["energy"][..., None], q8], axis=-1
+        )
+        out["diagnostics"] = {
+            "split_rhat": np.asarray(split_rhat(diag_axis)),
+            "ess": np.asarray(effective_sample_size(diag_axis)),
+        }
+    else:
+        out = _streamed_posterior(
+            bayes_flow, (u for u, _ in u_batches), out_thin, lean
+        )
     total_evals = int(res["warmup"]["num_grad_evals"]) + int(
         res["sampling"]["num_grad_evals"]
     )

@@ -39,11 +39,18 @@ def make_flow_loglik(flow, x, context=None) -> Callable:
     return lambda params: flow.log_prob(params, x, context=context)
 
 
-def _interval(u):
-    """(-1, 1) sigmoid reparameterization with per-coordinate log-Jacobian sum."""
+def _interval(u, centered: bool = False):
+    """(-1, 1) sigmoid reparameterization with per-coordinate log-Jacobian sum.
+
+    ``centered=True`` returns the log-Jacobian RELATIVE to its value at
+    u=0 (i.e. plus P*log 2): each summand 2*log2 - softplus(u) -
+    softplus(-u) is then <= 0, O(u^2) near 0, so the sum stays O(P * u^2)
+    instead of carrying the -P*log2 ~ -1.3e7 constant that swamps float32
+    at production dimension (see ``BayesianFlow.potential_centered``)."""
     s = jax.nn.sigmoid(u)
     x = 2.0 * s - 1.0
-    log_det = jnp.sum(jnp.log(2.0) - jax.nn.softplus(u) - jax.nn.softplus(-u))
+    base = jnp.log(4.0) if centered else jnp.log(2.0)
+    log_det = jnp.sum(base - jax.nn.softplus(u) - jax.nn.softplus(-u))
     return x, log_det
 
 
@@ -103,18 +110,19 @@ class BayesianFlow:
             return u, None
         return u[:P], u[P:]
 
-    def constrain(self, u):
+    def constrain(self, u, centered: bool = False):
         """Unconstrained vector -> dict(standard, scale, params_flat,
         log_det, log_prior).
 
         ``log_det`` is the Jacobian of the unconstraining transform and
         ``log_prior`` the (non-constant part of the) prior density of the
         constrained variables; the potential is ``-(loglik + log_det +
-        log_prior)``.
+        log_prior)``. ``centered=True`` drops the log-Jacobian's additive
+        constant (its value at u=0) — see :meth:`potential_centered`.
         """
         u_std, u_scale = self._split(u)
         if self.prior in ("uniform", "truncnorm"):
-            standard, ld_std = _interval(u_std)
+            standard, ld_std = _interval(u_std, centered)
         else:  # normal / standard_normal: std unconstrained
             standard, ld_std = u_std, jnp.zeros(())
 
@@ -126,8 +134,13 @@ class BayesianFlow:
             scale = self.scale_max * s
             if not self.multi_scale:
                 scale = scale.reshape(())
+            base = (
+                jnp.log(4.0)
+                if centered
+                else jnp.log(self.scale_max)
+            )
             ld_scale = jnp.sum(
-                jnp.log(self.scale_max) - jax.nn.softplus(u_scale) - jax.nn.softplus(-u_scale)
+                base - jax.nn.softplus(u_scale) - jax.nn.softplus(-u_scale)
             )
             log_det = ld_std + ld_scale
 
@@ -149,6 +162,71 @@ class BayesianFlow:
             "params_flat": params_flat,
             "log_det": log_det,
             "log_prior": log_prior,
+        }
+
+    def constrain_host(self, u, centered: bool = False):
+        """Numpy twin of :meth:`constrain` for batched host-side
+        post-processing: at production scale shipping draws to the device
+        just to apply an elementwise sigmoid costs ~15 s per 76 MB draw
+        through the remote tunnel, while numpy does the whole posterior in
+        seconds. Accepts any leading batch shape; returns the same dict
+        with ``log_det``/``log_prior`` summed over the trailing axis.
+
+        Matches the device path to float32 round-off (identical formulas,
+        computed in float64 then cast); used by the lean (``thin_draws``)
+        production path in ``naz_tpu.bayes.exact``.
+        """
+        import numpy as np
+
+        u = np.asarray(u, np.float64)
+        P = self.num_weights
+        if self.fixed_scale:
+            u_std, u_scale = u, None
+        else:
+            u_std, u_scale = u[..., :P], u[..., P:]
+
+        def _sp(x):  # stable softplus
+            return np.logaddexp(0.0, x)
+
+        if self.prior in ("uniform", "truncnorm"):
+            standard = 2.0 / (1.0 + np.exp(-u_std)) - 1.0
+            base = np.log(4.0) if centered else np.log(2.0)
+            ld_std = np.sum(base - _sp(u_std) - _sp(-u_std), axis=-1)
+        else:
+            standard, ld_std = u_std, np.zeros(u_std.shape[:-1])
+
+        if self.fixed_scale:
+            scale = np.full(u.shape[:-1], self.scale_max)
+            log_det = ld_std
+        else:
+            s = 1.0 / (1.0 + np.exp(-u_scale))
+            scale = self.scale_max * s
+            if not self.multi_scale:
+                scale = scale[..., 0]
+            base = np.log(4.0) if centered else np.log(self.scale_max)
+            log_det = ld_std + np.sum(
+                base - _sp(u_scale) - _sp(-u_scale), axis=-1
+            )
+
+        if self.prior == "standard_normal":
+            params_flat = standard
+            log_prior = -0.5 * np.sum(standard * standard, axis=-1)
+        else:
+            mle = np.asarray(self._flat_mle, np.float64)
+            s_b = scale if (self.multi_scale or np.ndim(scale) == 0) else scale[..., None]
+            if self.fixed_scale:
+                s_b = self.scale_max
+            params_flat = mle * (1.0 + s_b * standard)
+            if self.prior == "uniform":
+                log_prior = np.zeros(u.shape[:-1])
+            else:
+                log_prior = -0.5 * np.sum(standard * standard, axis=-1)
+        return {
+            "standard": standard.astype(np.float32),
+            "scale": np.asarray(scale, np.float32),
+            "params_flat": params_flat.astype(np.float32),
+            "log_det": log_det.astype(np.float32),
+            "log_prior": log_prior.astype(np.float32),
         }
 
     def log_prior_standard(self, standard):
@@ -199,11 +277,31 @@ class BayesianFlow:
         ll = self.log_likelihood_flat(c["params_flat"])
         return -(ll + c["log_det"] + c["log_prior"])
 
+    def potential_centered(self, u):
+        """:meth:`potential` minus its additive log-Jacobian constant
+        (``log_det`` at u=0) — the SAME density, shifted so the value is
+        O(|loglik|) instead of O(P).
+
+        Why a second entry point: the uniform-box reparameterization's
+        log-Jacobian carries a -P*log2 constant (~ -1.3e7 at the 19M-weight
+        production scale). In float32 the spacing at 1.3e7 is 1.0, so a
+        Metropolis test on raw potentials absorbs O(1) nat of quantization
+        noise per accept decision — the sampler silently targets a
+        perturbed distribution. The constant cancels from every MCMC
+        acceptance/weight algebraically; dropping it ELEMENTWISE (before
+        the sum) cancels it numerically too. Samplers use this; SVI /
+        importance / evidence keep :meth:`potential`, whose normalization
+        constants they report.
+        """
+        c = self.constrain(u, centered=True)
+        ll = self.log_likelihood_flat(c["params_flat"])
+        return -(ll + c["log_det"] + c["log_prior"])
+
     def init_positions(self, key, num_chains: int, jitter: float = 0.1):
         """Chains start at the MLE (standard = 0 <-> u = 0), jittered."""
         return jitter * jax.random.normal(key, (num_chains, self.dim))
 
-    def curvature_inv_mass(self, key, probes: int = 8, chunk: int = 4):
+    def curvature_inv_mass(self, key, probes: int = 8, chunk: int = None):
         """Hutchinson estimate of 1/diag(Hessian U) at the MLE center —
         a curvature-informed initial diagonal (inverse) mass matrix.
 
@@ -227,6 +325,14 @@ class BayesianFlow:
         potential is a sum over 10^5 data points — is amplified as 1/eps,
         and their balance sits at cbrt(machine eps) (ADVICE r2: the old
         fixed 1e-3 amplified f32 round-off ~5x more than necessary)."""
+        if chunk is None:
+            # vmapping probes batches the whole density program (a leading
+            # batch dim on every weight tensor); the fused Pallas kernels
+            # then stage (chunk x layer weights) in VMEM and the 512-wide
+            # production shape blows the 16 MB scoped-VMEM limit at
+            # chunk=4 (measured: compile-time OOM). Probe sequentially at
+            # production scale — 8 probes x 2 grads is seconds either way.
+            chunk = 1 if self.num_weights > 2_000_000 else 4
         g = jax.grad(self.potential)
         u0 = jnp.zeros(self.dim)
         eps = float(jnp.finfo(jnp.float32).eps) ** (1.0 / 3.0)  # ~4.9e-3
@@ -236,6 +342,10 @@ class BayesianFlow:
 
         def probe_batch(k, n):
             vs = jax.random.rademacher(k, (n, self.dim), dtype=u0.dtype)
+            if n == 1:
+                # no vmap: even a unit batch dim batches the Pallas density
+                # kernel and overflows scoped VMEM at the 512-wide shape
+                return (vs[0] * hvp(vs[0]))[None]
             return jax.vmap(lambda v: v * hvp(v))(vs)
 
         keys = jax.random.split(key, -(-probes // chunk))

@@ -114,6 +114,15 @@ class ChEESConfig:
     # trajectory can move: the 19M-weight production failure mode was T
     # collapsing to ~6 steps of a tiny eps, freezing every chain in place.
     min_leapfrogs: int = 1
+    # sampling-phase output thinning, in draws: keep every thin_draws-th
+    # full position vector (at steps_per_program chunk granularity); every
+    # draw still emits scalar diagnostics (exact potential energy, first 8
+    # coordinates, acceptance, leapfrog count). At production scale the
+    # remote-tunnel device->host link moves ~5 MB/s, so streaming every
+    # 76 MB draw vector (19M weights) dominates sampling wall-clock; the
+    # full trace only feeds R-hat/ESS diagnostics, which the scalar
+    # projections carry equally well. 1 = keep every draw (full q trace).
+    thin_draws: int = 1
     seed: int = 0
     steps_per_program: int = 50
     # chain execution inside the program: "vmap" (lockstep batched — the
@@ -487,18 +496,38 @@ def chees_sample(
     fast_potential: Callable = None,
     timings: list = None,
 ) -> tuple[ChEESState, jnp.ndarray, dict]:
-    """Draw ``cfg.num_samples`` per chain; returns (state, samples
-    (draws, chains, dim), info).
+    """Draw ``cfg.num_samples`` per chain; returns (state, samples, info).
+
+    With ``cfg.thin_draws == 1`` (default), ``samples`` is the full
+    (draws, chains, dim) trace. With ``thin_draws > 1``, ``samples`` keeps
+    one full position per ``thin_draws`` draws (chunk-granular) and info
+    carries per-draw scalar traces instead: ``energy`` (exact potential at
+    each draw, (draws, chains)) and ``q8`` (first <=8 coordinates,
+    (draws, chains, k)) — the standard diagnostic projections — so
+    R-hat/ESS lose nothing while device->host traffic drops by
+    ~dim/8/thin_draws. ``info["kept_idx"]`` gives the draw index of each
+    kept position.
 
     ``timings``: optional list; each chunk appends ``(n_draws, wall_s)``
     (device-synced) — chunk 0 includes compile."""
     import time as _time
 
     pg, exact_U = _exact_and_fast(potential, fast_potential, cfg.chain_exec)
+    k8 = min(8, state.q.shape[-1])
+    lean = cfg.thin_draws > 1
 
     def one(carry, _):
         new_state, info = chees_step(pg, carry, cfg, exact_U)
-        return new_state, (new_state.q, info.accept_prob, info.num_leapfrogs)
+        if lean:
+            out = (
+                new_state.U,
+                new_state.q[:, :k8],
+                info.accept_prob,
+                info.num_leapfrogs,
+            )
+        else:
+            out = (new_state.q, info.accept_prob, info.num_leapfrogs)
+        return new_state, out
 
     import functools
 
@@ -506,24 +535,42 @@ def chees_sample(
     def _chunk(state, n):
         return lax.scan(one, state, None, length=n)
 
-    qs, accs, Ls = [], [], []
+    qs, accs, Ls, Us, q8s, kept = [], [], [], [], [], []
     spp = max(1, cfg.steps_per_program)
     done = 0
+    next_keep = cfg.thin_draws
     while done < cfg.num_samples:
         n = min(spp, cfg.num_samples - done)
         _t0 = _time.time()
-        state, (q, a, L) = _chunk(state, n)
+        state, out = _chunk(state, n)
         if timings is not None:
-            jax.block_until_ready(q)
+            jax.block_until_ready(out[0])
             timings.append((n, _time.time() - _t0))
-        qs.append(np.asarray(q))
+        done += n
+        if lean:
+            U, q8, a, L = out
+            Us.append(np.asarray(U))
+            q8s.append(np.asarray(q8))
+            # keep the chunk-final full position when a keep boundary was
+            # crossed: one 76 MB transfer per thin_draws draws, not per draw
+            if done >= next_keep:
+                qs.append(np.asarray(state.q))
+                kept.append(done - 1)
+                next_keep += cfg.thin_draws
+        else:
+            q, a, L = out
+            qs.append(np.asarray(q))
         accs.append(np.asarray(a))
         Ls.append(np.asarray(L))
-        done += n
         if cfg.verbose:
-            print(f"chees sampling {done}/{cfg.num_samples}")
+            print(f"chees sampling {done}/{cfg.num_samples}", flush=True)
 
-    samples = np.concatenate(qs) if qs else np.zeros((0,) + state.q.shape)
+    if lean:
+        samples = (
+            np.stack(qs) if qs else np.zeros((0,) + state.q.shape)
+        )  # (kept, chains, dim)
+    else:
+        samples = np.concatenate(qs) if qs else np.zeros((0,) + state.q.shape)
     info = {
         "accept_prob": np.concatenate(accs) if accs else np.zeros(0),
         "num_leapfrogs": np.concatenate(Ls) if Ls else np.zeros(0, np.int32),
@@ -531,6 +578,16 @@ def chees_sample(
         if Ls
         else 0,
     }
+    if lean:
+        info["energy"] = (
+            np.concatenate(Us) if Us else np.zeros((0, state.q.shape[0]))
+        )
+        info["q8"] = (
+            np.concatenate(q8s)
+            if q8s
+            else np.zeros((0, state.q.shape[0], k8))
+        )
+        info["kept_idx"] = np.asarray(kept, np.int64)
     # host (numpy) samples: re-materializing the full (draws, chains, dim)
     # posterior on device is 15+ GB at the 4-param production scale (100
     # draws x 2 chains x 19M weights) — more than the chip's HBM. Draws
@@ -662,19 +719,32 @@ def run_chees_checkpointed(
         batch_file = os.path.join(
             checkpoint_dir, f"posterior_batch_{next_index:05d}.npz"
         )
+        extra = {}
+        if cfg.thin_draws > 1:
+            # lean sampling: q holds only the kept positions; per-draw
+            # scalar traces (exact energy, first-8 coords) ride alongside
+            extra = {
+                "energy": np.asarray(info["energy"]),
+                "q8": np.asarray(info["q8"]),
+                "kept_idx": np.asarray(info["kept_idx"]),  # batch-relative
+            }
         np.savez(
             batch_file,
             q=np.asarray(q),
             accept_prob=np.asarray(info["accept_prob"]),
             num_leapfrogs=np.asarray(info["num_leapfrogs"]),
+            **extra,
         )
         next_index += 1
-        collected += q.shape[0]
+        collected += n
         if callback is not None:
             callback(collected, batch_file)
 
     files, collected = _counts()
     small = {"accept_prob": [], "num_leapfrogs": []}
+    with np.load(files[0]) as z0:
+        if "energy" in z0.files:
+            small.update(energy=[], q8=[])
     for f in files:
         with np.load(f) as z:
             for k in small:

@@ -30,7 +30,15 @@ class LeapfrogState(NamedTuple):
 
 
 def kinetic(r: jnp.ndarray, inv_mass: jnp.ndarray) -> jnp.ndarray:
-    return 0.5 * jnp.sum(r * r * inv_mass, axis=-1)
+    """Kinetic energy CENTERED by its expectation P/2: every use in this
+    package differences kinetic energies (Metropolis delta-H, NUTS
+    multinomial weights, divergence checks), so the constant cancels
+    algebraically — but not numerically. At production dimension (P ~ 2e7
+    weights) the raw 0.5*sum(r^2/m) is ~1e7, where float32 spacing is ~1:
+    every accept decision would absorb O(1) nat of quantization noise.
+    The centered summand r^2/m - 1 is O(1) per coordinate with mean 0, so
+    the sum is O(sqrt(P)) and f32-exact to ~1e-3."""
+    return 0.5 * jnp.sum(r * r * inv_mass - 1.0, axis=-1)
 
 
 def leapfrog(

@@ -107,3 +107,57 @@ def test_exact_bayesian_over_spline_flow():
     assert post["params_flat"].shape[:2] == (40, 2)
     assert np.isfinite(np.asarray(post["log_likelihood"])).all()
     assert float(post["diagnostics"]["divergence_fraction"]) < 0.5
+
+
+def test_constrain_host_matches_device_all_priors():
+    """The numpy post-processing twin must match the jax constrain to f32
+    round-off, centered and not, for every prior family / scale mode."""
+    import itertools
+
+    flow = maf_flow(2, 2, (8,), seed=0)
+    p0 = flow.init_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+    rng = np.random.default_rng(2)
+    for prior, (fixed, multi) in itertools.product(
+        ("uniform", "normal", "standard_normal", "truncnorm"),
+        ((True, False), (False, False), (False, True)),
+    ):
+        bf = BayesianFlow(
+            make_flow_loglik(flow, x), p0, scale_max=0.3, prior=prior,
+            fixed_scale=fixed, multi_scale=multi,
+        )
+        u = rng.standard_normal((3, bf.dim)).astype(np.float32)
+        for centered in (False, True):
+            ch = bf.constrain_host(u, centered=centered)
+            for i in range(3):
+                cd = bf.constrain(jnp.asarray(u[i]), centered=centered)
+                np.testing.assert_allclose(
+                    ch["params_flat"][i], np.asarray(cd["params_flat"]),
+                    rtol=2e-6, atol=2e-6,
+                )
+                np.testing.assert_allclose(
+                    ch["log_det"][i], float(cd["log_det"]), rtol=2e-5, atol=2e-4
+                )
+                np.testing.assert_allclose(
+                    ch["log_prior"][i], float(cd["log_prior"]),
+                    rtol=2e-5, atol=2e-4,
+                )
+
+
+def test_potential_centered_is_constant_shift():
+    """potential_centered = potential + const (independent of u), and the
+    const equals the log-Jacobian at u=0 (-P*log2 for the uniform box)."""
+    flow = maf_flow(2, 2, (8,), seed=0)
+    p0 = flow.init_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+    bf = BayesianFlow(make_flow_loglik(flow, x), p0, scale_max=0.3)
+    u1 = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (bf.dim,))
+    u2 = -0.2 * jax.random.normal(jax.random.PRNGKey(3), (bf.dim,))
+    d1 = float(bf.potential(u1) - bf.potential_centered(u1))
+    d2 = float(bf.potential(u2) - bf.potential_centered(u2))
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
+    # the uniform box's log-Jacobian carries -P*log2; dropping it RAISES
+    # the log-density, i.e. lowers the centered potential by P*log2
+    np.testing.assert_allclose(
+        d1, bf.num_weights * np.log(2.0), rtol=1e-5
+    )

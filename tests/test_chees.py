@@ -337,3 +337,47 @@ def test_chees_T_not_ratcheted_by_transient_eps_collapse():
     out = run_chees(U, q0, cfg)
     # old behavior: T pinned near max_leapfrogs * eps_early ~ 3e-4
     assert out["traj_len"] > 0.1, (out["traj_len"], out["step_size"])
+
+
+def test_chees_lean_sampling_thin_draws(tmp_path):
+    """thin_draws>1: full positions kept every Nth draw (chunk-granular),
+    per-draw scalar traces (exact energy, first-8 coords) streamed for
+    diagnostics — the production path where device->host bandwidth, not
+    gradients, bounds sampling wall-clock."""
+    import dataclasses
+
+    from naz_tpu.mcmc.chees import run_chees_checkpointed
+
+    scales = jnp.array([1.0, 3.0, 0.5, 2.0])
+    U = _gaussian_potential(scales)
+    cfg = ChEESConfig(
+        num_warmup=200, num_samples=64, num_chains=8, seed=1,
+        init_step_size=0.5, max_leapfrogs=64, thin_draws=8,
+        steps_per_program=4,
+    )
+    q0 = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (8, 4))
+    out = run_chees(U, q0, cfg)
+    s = np.asarray(out["samples"])
+    assert s.shape == (8, 8, 4)  # 64/8 kept draw-sets
+    info = out["sampling"]
+    assert info["energy"].shape == (64, 8)
+    assert info["q8"].shape == (64, 8, 4)
+    np.testing.assert_array_equal(info["kept_idx"], np.arange(7, 64, 8))
+    # energies must be the exact potential of the current positions: the
+    # q8 trace at kept indices equals the kept positions' first coords
+    np.testing.assert_allclose(
+        info["q8"][info["kept_idx"]], s, rtol=1e-6, atol=1e-6
+    )
+    # kept draws are real posterior draws: moments from the scalar trace
+    flat = info["q8"].reshape(-1, 4)
+    np.testing.assert_allclose(flat.std(0), np.asarray(scales), rtol=0.2)
+
+    # checkpointed lean run: batches carry the traces, resume by draw count
+    d = str(tmp_path / "ckpt")
+    post = run_chees_checkpointed(U, q0, cfg, d, nbatch=32, assemble=False)
+    assert post["num_draws"] == 64
+    assert post["energy"].shape == (64, 8)
+    assert post["q8"].shape == (64, 8, 4)
+    with np.load(post["batch_files"][0]) as z:
+        assert z["q"].shape == (4, 8, 4)  # 32/8 kept per batch
+        assert z["energy"].shape == (32, 8)

@@ -138,17 +138,19 @@ def test_hmc_kernel_via_run_driver():
     q0 = 0.1 * jax.random.normal(jax.random.PRNGKey(5), (2, 4))
     cfg = MCMCRunConfig(
         num_warmup=200, num_samples=300, num_chains=2, seed=5,
-        kernel="hmc", hmc_num_steps=16,
+        kernel="hmc", hmc_num_steps=13,
     )
     _, batch, _ = run_nuts(pot, q0, cfg)
     flat = np.asarray(batch.q).reshape(-1, 4)
-    # fixed-length HMC mixes anisotropically on a Gaussian (resonances);
-    # worst-coordinate ESS here is ~80, so the mean's SE is ~0.11 — 0.25
-    # is ~2.3 SE, loose enough not to flake across RNG-stream changes
+    # fixed-length HMC on a Gaussian is resonance-prone: when the adapted
+    # eps*L lands near a periodic orbit the variance is badly undersampled
+    # (measured: L=16 gave var ~0.45 for one f32-rounding realization of
+    # the adapted step). A prime L sits away from low-order resonances;
+    # tolerances are ~2-3 SE at worst-coordinate ESS ~80.
     np.testing.assert_allclose(flat.mean(0), np.zeros(4), atol=0.25)
     np.testing.assert_allclose(flat.var(0), np.ones(4), atol=0.35)
-    # fixed trajectory length: every transition costs exactly 16 grad evals
-    assert (np.asarray(batch.num_grad_evals) == 16).all()
+    # fixed trajectory length: every transition costs exactly 13 grad evals
+    assert (np.asarray(batch.num_grad_evals) == 13).all()
 
 
 def test_nuts_funnel_moments():
