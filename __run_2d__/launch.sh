@@ -20,7 +20,7 @@ exec python -u -m naz_tpu hmc \
   --mle-params __run_2d__/mle_2d.npz \
   --layers 16 --hidden 150 150 150 --compute-dtype bfloat16 \
   --kernel chees --num-warmup 1000 --num-samples 1000 --num-chains 4 \
-  --chain-exec map --sigma 0.01 --curvature-init-mass \
-  --min-leapfrogs 4 --max-leapfrogs 128 --steps-per-program 8 \
+  --chain-exec map --sigma 0.01 \
+  --min-leapfrogs 4 --max-leapfrogs 96 --steps-per-program 4 \
   --chckpt __run_2d__/ckpt --nbatch 200 \
   --thin-draws 8 --out-thin 1 --out __run_2d__/post_2d.npz

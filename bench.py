@@ -182,7 +182,10 @@ def bench_ess(num_warmup=400, num_samples=300, num_chains=4):
     cfg = ChEESConfig(
         num_warmup=num_warmup, num_samples=num_samples,
         num_chains=num_chains, seed=0, chain_exec="map",
-        steps_per_program=25, max_leapfrogs=64,
+        # program-runtime bound: the remote worker kills long device
+        # programs; keep steps x chains x max_leapfrogs x ms/grad under
+        # ~1 min (8 x 4 x 64 x 26 ms ~ 53 s)
+        steps_per_program=8, max_leapfrogs=64,
         # lean sampling: per-draw scalar traces (exact energy + first-8
         # coords) feed the ESS/R-hat below; full 2.98 MB position vectors
         # stream only every 25th draw, so the bench measures the sampler,

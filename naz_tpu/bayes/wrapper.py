@@ -357,9 +357,17 @@ class BayesianFlow:
             total = total + fn(k, n).sum(axis=0)
             done += n
         diag = jnp.abs(total / probes)
-        # floor tiny/zero curvature directions so the mass stays SPD
-        floor = 1e-6 * jnp.maximum(jnp.median(diag), 1e-30)
-        return 1.0 / jnp.maximum(diag, floor)
+        # Robustify the noisy few-probe estimate: HMC's stable step is set
+        # by the WORST coordinate of (true curvature x estimated inverse
+        # mass), so a single coordinate whose curvature the Hutchinson
+        # probes underestimate 100x forces the global eps down 10x
+        # (measured: curvature-init at the 2-D production shape pinned eps
+        # at 3e-4 vs 0.035 under identity). Clipping the estimate to a
+        # band around its median bounds any coordinate's mis-scaling;
+        # warmup's Welford windows refine from there.
+        med = jnp.maximum(jnp.median(diag), 1e-30)
+        diag = jnp.clip(diag, med / 100.0, med * 100.0)
+        return 1.0 / diag
 
     # -- prior predictive --------------------------------------------------
 

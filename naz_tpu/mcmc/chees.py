@@ -394,10 +394,16 @@ def chees_warmup(
         # carried state. T may therefore sit above max_leapfrogs*eps (the
         # per-iteration leapfrog count stays capped in _trajectories); it
         # just cannot grow further while it is.
+        # ...and symmetrically, the lower bound (min_leapfrogs * eps) must
+        # never RATCHET the carried T up through a transient eps SPIKE
+        # (measured: a window-close re-probe briefly returned a large step
+        # and the floor jumped T 1.3 -> 12 in one iteration). Either bound
+        # may stop motion, neither may cause it.
         hi = jnp.maximum(jnp.log(cfg.max_leapfrogs * state.step_size), carry.log_T)
         lo = jnp.minimum(
-            jnp.log(max(1, cfg.min_leapfrogs) * state.step_size), hi
+            jnp.log(max(1, cfg.min_leapfrogs) * state.step_size), carry.log_T
         )
+        lo = jnp.minimum(lo, hi)
         log_T = jnp.clip(log_T, lo, hi)
 
         # mass: the whole chain batch feeds the shared Welford accumulator

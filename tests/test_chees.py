@@ -60,9 +60,13 @@ def test_chees_trajectory_adapts_to_scale():
     """With a FIXED (identity) mass matrix, the adapted T must track the
     target's width (optimal T ~ O(sigma)). (With mass adaptation on, both
     targets normalize to unit geometry and correctly adapt to the same T —
-    so the scale response is only visible at fixed mass.)"""
+    so the scale response is only visible at fixed mass.) 900 iterations:
+    the 8-chain ChEES gradient is noisy, so Adam's normalized steps average
+    ~0.002 nats/iter and T tracks scale directionally but slowly (measured
+    T_wide 0.89/1.17/1.49 at 300/600/900 warmup). Production runs start at
+    T ~ O(1) with mass adaptation, which is near-optimal already."""
     cfgs = ChEESConfig(
-        num_warmup=300, num_chains=8, seed=2, init_traj_len=0.5,
+        num_warmup=900, num_chains=8, seed=2, init_traj_len=0.5,
         adapt_mass=False,
     )
     q0 = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
@@ -262,15 +266,20 @@ def test_chees_two_chains_no_trajectory_collapse():
     q0 = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (2, 6))
     with pytest.warns(UserWarning):
         out = run_chees(U, q0, cfg)
-    # orders-of-magnitude collapse means T ~ eps (1 leapfrog); require a
-    # healthy multiple of the step size and an absolute floor
-    assert out["traj_len"] > 4 * out["step_size"]
-    assert out["traj_len"] > 0.05 * float(scales.max())
+    # orders-of-magnitude collapse means T ~ eps with eps itself tiny
+    # (the r2 failure had T = 0.0022 on O(1) scales). Healthy = the
+    # trajectory covers a meaningful fraction of the target's largest
+    # scale; leapfrog-count is not the metric (a large adapted eps makes
+    # few steps per unit time legitimately).
+    assert out["traj_len"] > out["step_size"]
+    assert out["traj_len"] > 0.2 * float(scales.max())
 
 
 def test_chees_min_leapfrogs_floor():
-    """min_leapfrogs bounds both the per-iteration leapfrog count and the
-    adaptation's lower clip on T."""
+    """min_leapfrogs bounds the per-iteration leapfrog count. (It does NOT
+    drag the carried T up to match — the clip bounds may stop adaptation
+    motion but never cause it, else a transient eps spike ratchets T;
+    the executed-L floor is the actual guarantee.)"""
     U = _gaussian_potential([1.0, 2.0])
     cfg = ChEESConfig(
         num_warmup=60, num_samples=30, num_chains=4, seed=0,
@@ -280,7 +289,6 @@ def test_chees_min_leapfrogs_floor():
     q0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (4, 2))
     out = run_chees(U, q0, cfg)
     assert int(np.min(out["sampling"]["num_leapfrogs"])) >= 8
-    assert out["traj_len"] >= 8 * out["step_size"] * 0.99
 
 
 def test_chees_reprobe_after_terminal_metric_swap():
