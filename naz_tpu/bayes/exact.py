@@ -80,6 +80,52 @@ def _streamed_posterior(bayes_flow, u_batches, out_thin: int, lean: bool):
     return out
 
 
+def _lean_posterior(
+    bayes_flow, u_batches, energy, q8, thin_draws: int, out_thin: int,
+    lean: bool,
+):
+    """Post-processing for lean (``thin_draws > 1``) sampling: the sampler
+    already thinned positions on device and streamed per-draw scalar
+    traces, so everything here is PURE HOST WORK — constrained outputs via
+    the numpy constrain twin, and the kept draws' log-likelihoods
+    recovered exactly from the identity
+
+        energy = -(ll + log_det_centered + log_prior)
+
+    (the sampler's exact accept-time energies). No draw crosses the
+    tunnel again; the old device passes cost ~50 min per production
+    posterior in transfers alone. ``u_batches`` yields
+    ``(kept_positions, their_energies)`` per batch."""
+    us, es = [], []
+    seen = 0
+    for u, e in u_batches:
+        idx = [i for i in range(u.shape[0]) if (seen + i) % out_thin == 0]
+        us.append(np.asarray(u)[idx])
+        es.append(np.asarray(e)[idx])
+        seen += u.shape[0]
+    u_kept = np.concatenate(us)
+    e_kept = np.concatenate(es)
+    c = bayes_flow.constrain_host(u_kept, centered=True)
+    out = {
+        "scale": c["scale"],
+        "params_flat": c["params_flat"],
+        "thin": thin_draws * out_thin,
+        "energy": energy,
+        "log_likelihood": -(e_kept + c["log_det"] + c["log_prior"]),
+    }
+    if not lean:
+        out["standard"] = c["standard"]
+        out["params"] = jax.vmap(jax.vmap(bayes_flow.unravel))(
+            jnp.asarray(c["params_flat"])
+        )
+    diag_axis = np.concatenate([energy[..., None], q8], axis=-1)
+    out["diagnostics"] = {
+        "split_rhat": np.asarray(split_rhat(diag_axis)),
+        "ess": np.asarray(effective_sample_size(diag_axis)),
+    }
+    return out
+
+
 def _has_checkpoint(checkpoint_dir, state_name: str) -> bool:
     import os
 
@@ -128,7 +174,19 @@ def fit_nuts(
             bayes_flow.potential_centered, q0, cfg, checkpoint_dir,
             nbatch=nbatch, init_inv_mass=init_inv_mass, assemble=False,
         )
-        u_batches = (np.load(f)["q"] for f in posterior["batch_files"])
+        lean_mode = posterior.get("energy") is not None
+
+        def _pairs():
+            for f in posterior["batch_files"]:
+                with np.load(f) as z:
+                    if lean_mode:
+                        yield z["q"], z["energy"][z["kept_idx"]]
+                    else:
+                        yield z["q"], None
+
+        u_batches = _pairs()
+        energy = posterior.get("energy")
+        q8 = posterior.get("q8")
         stats = {
             k: posterior[k] for k in ("accept_prob", "num_grad_evals", "diverging")
         }
@@ -137,7 +195,17 @@ def fit_nuts(
         _, batch, winfo = run_nuts(
             bayes_flow.potential_centered, q0, cfg, init_inv_mass=init_inv_mass
         )
-        u_batches = [np.asarray(batch.q)]
+        if batch.energy is not None:
+            u_batches = [
+                (
+                    np.asarray(batch.q),
+                    np.asarray(batch.energy)[np.asarray(batch.kept_idx)],
+                )
+            ]
+        else:
+            u_batches = [(np.asarray(batch.q), None)]
+        energy = batch.energy
+        q8 = batch.q8
         stats = {
             "accept_prob": np.asarray(batch.accept_prob),
             "num_grad_evals": np.asarray(batch.num_grad_evals),
@@ -145,7 +213,15 @@ def fit_nuts(
             "warmup_grad_evals": int(winfo.num_grad_evals),
         }
 
-    out = _streamed_posterior(bayes_flow, u_batches, out_thin, lean)
+    if energy is not None:
+        out = _lean_posterior(
+            bayes_flow, u_batches, np.asarray(energy), np.asarray(q8),
+            cfg.thin_draws, out_thin, lean,
+        )
+    else:
+        out = _streamed_posterior(
+            bayes_flow, (u for u, _ in u_batches), out_thin, lean
+        )
     out["diagnostics"].update(
         divergence_fraction=float(np.mean(stats["diverging"])),
         mean_accept_prob=float(np.mean(stats["accept_prob"])),
@@ -243,45 +319,11 @@ def fit_chees(
             u_batches = [(np.asarray(res["samples"]), None)]
 
     if res["sampling"].get("energy") is not None:
-        # Lean sampling (cfg.thin_draws > 1): the sampler already thinned
-        # the positions on device and streamed per-draw scalar traces, so
-        # post-processing is PURE HOST WORK — constrained outputs via the
-        # numpy constrain twin, and the kept draws' log-likelihoods
-        # recovered exactly from the identity
-        #   energy = -(ll + log_det_centered + log_prior)
-        # (the sampler's exact accept-time energies). No draw crosses the
-        # tunnel again; the old device passes cost ~50 min per production
-        # posterior in transfers alone.
-        us, es = [], []
-        seen = 0
-        for u, e in u_batches:
-            idx = [i for i in range(u.shape[0]) if (seen + i) % out_thin == 0]
-            us.append(np.asarray(u)[idx])
-            es.append(np.asarray(e)[idx])
-            seen += u.shape[0]
-        u_kept = np.concatenate(us)
-        e_kept = np.concatenate(es)
-        c = bayes_flow.constrain_host(u_kept, centered=True)
-        out = {
-            "scale": c["scale"],
-            "params_flat": c["params_flat"],
-            "thin": cfg.thin_draws * out_thin,
-            "energy": np.asarray(res["sampling"]["energy"]),
-            "log_likelihood": -(e_kept + c["log_det"] + c["log_prior"]),
-        }
-        if not lean:
-            out["standard"] = c["standard"]
-            out["params"] = jax.vmap(jax.vmap(bayes_flow.unravel))(
-                jnp.asarray(c["params_flat"])
-            )
-        q8 = np.asarray(res["sampling"]["q8"])
-        diag_axis = np.concatenate(
-            [out["energy"][..., None], q8], axis=-1
+        out = _lean_posterior(
+            bayes_flow, u_batches, np.asarray(res["sampling"]["energy"]),
+            np.asarray(res["sampling"]["q8"]), cfg.thin_draws, out_thin,
+            lean,
         )
-        out["diagnostics"] = {
-            "split_rhat": np.asarray(split_rhat(diag_axis)),
-            "ess": np.asarray(effective_sample_size(diag_axis)),
-        }
     else:
         out = _streamed_posterior(
             bayes_flow, (u for u, _ in u_batches), out_thin, lean

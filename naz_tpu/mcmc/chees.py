@@ -748,14 +748,18 @@ def run_chees_checkpointed(
 
     files, collected = _counts()
     small = {"accept_prob": [], "num_leapfrogs": []}
-    with np.load(files[0]) as z0:
-        if "energy" in z0.files:
-            small.update(energy=[], q8=[])
+    if files:
+        with np.load(files[0]) as z0:
+            if "energy" in z0.files:
+                small.update(energy=[], q8=[])
     for f in files:
         with np.load(f) as z:
             for k in small:
                 small[k].append(z[k])
-    posterior = {k: np.concatenate(v, axis=0) for k, v in small.items()}
+    posterior = {
+        k: (np.concatenate(v, axis=0) if v else np.zeros((0,)))
+        for k, v in small.items()
+    }
     if assemble:
         posterior["q"] = np.concatenate(
             [np.load(f)["q"] for f in files], axis=0

@@ -71,6 +71,12 @@ class MCMCRunConfig:
     # ~1.4x slower in aggregate — use "map" there. For small potentials
     # (unit tests, toy problems) "vmap" fills the chip and wins.
     chain_exec: str = "vmap"
+    # sampling-phase output thinning, in draws (same semantics as
+    # ChEESConfig.thin_draws): keep every Nth full position (chunk
+    # granular), stream per-draw scalar traces (potential energy +
+    # first-8 coords) — production setting when one draw is tens of MB
+    # and the device->host link is the bottleneck.
+    thin_draws: int = 1
 
 
 class ChainState(NamedTuple):
@@ -314,10 +320,14 @@ def warmup_nuts(
 
 
 class SampleBatch(NamedTuple):
-    q: jnp.ndarray  # (num_samples, chains, dim)
+    q: jnp.ndarray  # (num_samples, chains, dim); (kept, chains, dim) when lean
     accept_prob: jnp.ndarray
     num_grad_evals: jnp.ndarray  # (num_samples, chains)
     diverging: jnp.ndarray
+    # lean mode (cfg.thin_draws > 1) only; None otherwise
+    energy: object = None  # (num_samples, chains) exact potential trace
+    q8: object = None  # (num_samples, chains, <=8)
+    kept_idx: object = None  # draw index of each kept position
 
 
 def sample_nuts(
@@ -336,6 +346,8 @@ def sample_nuts(
     import time as _time
     pg = jax.value_and_grad(potential)
     step_fn = _over_chains(_make_step(pg, cfg), cfg.chain_exec)
+    k8 = min(8, state.q.shape[-1])
+    lean = cfg.thin_draws > 1
     from functools import partial
 
     @partial(jax.jit, static_argnums=1)
@@ -347,7 +359,14 @@ def sample_nuts(
                 carry.q, carry.U, carry.grad, k_step, carry.step_size, carry.inv_mass
             )
             new = ChainState(q, U, grad, k_next, carry.step_size, carry.inv_mass)
-            return new, (q, info.accept_prob, info.num_grad_evals, info.diverging)
+            if lean:
+                out = (
+                    U, q[:, :k8], info.accept_prob, info.num_grad_evals,
+                    info.diverging,
+                )
+            else:
+                out = (q, info.accept_prob, info.num_grad_evals, info.diverging)
+            return new, out
 
         return lax.scan(one_step, state, None, length=length)
 
@@ -362,8 +381,10 @@ def sample_nuts(
         )
 
     chunk = max(1, cfg.steps_per_program)
-    outs = []
+    outs, qs_kept, kept = [], [], []
     traced = False
+    done = 0
+    next_keep = cfg.thin_draws
     for s in range(0, num_samples, chunk):
         length = min(chunk, num_samples - s)
         _t0 = _time.time()
@@ -377,14 +398,36 @@ def sample_nuts(
         # an outer trace (e.g. SBC vmaps whole runs) the values are
         # tracers — leave them symbolic.
         traced = isinstance(jax.tree.leaves(out)[0], jax.core.Tracer)
+        if traced and lean:
+            raise ValueError(
+                "thin_draws > 1 is not supported under an outer trace "
+                "(vmapped SBC runs keep every draw)"
+            )
         outs.append(out if traced else jax.tree.map(np.asarray, out))
+        done += length
+        if lean and done >= next_keep:
+            # chunk-final full positions: one transfer per thin_draws draws
+            qs_kept.append(np.asarray(state.q))
+            kept.append(done - 1)
+            next_keep += cfg.thin_draws
         if cfg.verbose and not traced:
             print(
                 f"[naz_tpu] sampling {min(s + length, num_samples)}/{num_samples}: "
-                f"accept {float(np.mean(outs[-1][1])):.3f}",
+                f"accept {float(np.mean(outs[-1][-3])):.3f}",
                 flush=True,
             )
     cat = jnp.concatenate if traced else np.concatenate
+    if lean:
+        U, q8, acc, nev, div = (cat(parts) for parts in zip(*outs))
+        q = (
+            np.stack(qs_kept)
+            if qs_kept
+            else np.zeros((0,) + state.q.shape)
+        )
+        return state, SampleBatch(
+            q, acc, nev, div, energy=U, q8=q8,
+            kept_idx=np.asarray(kept, np.int64),
+        )
     qs, acc, nev, div = (cat(parts) for parts in zip(*outs))
     return state, SampleBatch(qs, acc, nev, div)
 
@@ -476,25 +519,40 @@ def run_nuts_checkpointed(
         batch_file = os.path.join(
             checkpoint_dir, f"posterior_batch_{next_index:05d}.npz"
         )
+        extra = {}
+        if batch.energy is not None:
+            extra = {
+                "energy": np.asarray(batch.energy),
+                "q8": np.asarray(batch.q8),
+                "kept_idx": np.asarray(batch.kept_idx),  # batch-relative
+            }
         np.savez(
             batch_file,
             q=np.asarray(batch.q),
             accept_prob=np.asarray(batch.accept_prob),
             num_grad_evals=np.asarray(batch.num_grad_evals),
             diverging=np.asarray(batch.diverging),
+            **extra,
         )
         next_index += 1
-        collected += batch.q.shape[0]
+        collected += n
         if callback is not None:
             callback(collected, batch_file)
 
     files, collected = _counts()
     small = {"accept_prob": [], "num_grad_evals": [], "diverging": []}
+    if files:
+        with np.load(files[0]) as z0:
+            if "energy" in z0.files:
+                small.update(energy=[], q8=[])
     for f in files:
         with np.load(f) as z:
             for k in small:
                 small[k].append(z[k])
-    posterior = {k: np.concatenate(v, axis=0) for k, v in small.items()}
+    posterior = {
+        k: (np.concatenate(v, axis=0) if v else np.zeros((0,)))
+        for k, v in small.items()
+    }
     if assemble:
         posterior["q"] = np.concatenate([np.load(f)["q"] for f in files], axis=0)
     else:

@@ -295,3 +295,64 @@ def test_fixed_metric_window_close_keeps_da_converged_step():
         accs.append(float(np.mean(np.asarray(batch.accept_prob))))
     assert abs(accs[0] - 0.8) < 0.15, f"fixed-metric accept drifted: {accs[0]}"
     assert abs(accs[1] - 0.8) < 0.15
+
+
+def test_nuts_lean_thin_draws(tmp_path):
+    """NUTS twin of the ChEES lean mode: thin_draws keeps every Nth full
+    position and streams per-draw scalar traces for diagnostics."""
+    from naz_tpu.mcmc.run import run_nuts_checkpointed
+
+    pot = _std_normal_potential(3)
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (2, 3))
+    cfg = MCMCRunConfig(
+        num_warmup=150, num_samples=64, num_chains=2, seed=3,
+        thin_draws=8, steps_per_program=4,
+    )
+    _, batch, _ = run_nuts(pot, q0, cfg)
+    assert batch.q.shape == (8, 2, 3)
+    assert batch.energy.shape == (64, 2)
+    assert batch.q8.shape == (64, 2, 3)
+    np.testing.assert_array_equal(batch.kept_idx, np.arange(7, 64, 8))
+    # kept positions' coords equal the trace rows at kept indices
+    np.testing.assert_allclose(
+        batch.q8[batch.kept_idx], batch.q, rtol=1e-6, atol=1e-6
+    )
+    flat = batch.q8.reshape(-1, 3)
+    np.testing.assert_allclose(flat.std(0), np.ones(3), atol=0.3)
+
+    d = str(tmp_path / "ckpt")
+    post = run_nuts_checkpointed(pot, q0, cfg, d, nbatch=32, assemble=False)
+    assert post["num_draws"] == 64
+    assert post["energy"].shape == (64, 2)
+    with np.load(post["batch_files"][0]) as z:
+        assert z["q"].shape == (4, 2, 3)
+
+
+def test_fit_nuts_lean_mode():
+    """fit_nuts with thin_draws: host-side post-processing, ll from the
+    energy identity, diagnostics from the full scalar traces."""
+    from naz_tpu.bayes import BayesianFlow, make_flow_loglik
+    from naz_tpu.bayes.exact import fit_nuts as _fit_nuts
+    from naz_tpu.flows import maf_flow
+
+    flow = maf_flow(2, 2, (8,), seed=0)
+    p0 = flow.init_params(jax.random.PRNGKey(0))
+    p0 = jax.tree.map(
+        lambda a: a + 0.2 * jax.random.normal(jax.random.PRNGKey(9), a.shape),
+        p0,
+    )
+    x = flow.sample(p0, jax.random.PRNGKey(1), 256)
+    bf = BayesianFlow(make_flow_loglik(flow, x), p0, scale_max=0.3)
+    cfg = MCMCRunConfig(
+        num_warmup=150, num_samples=48, num_chains=2, seed=0, max_depth=6,
+        thin_draws=8, steps_per_program=8,
+    )
+    post = _fit_nuts(bf, cfg)
+    assert post["params_flat"].shape == (6, 2, bf.num_weights)
+    assert post["log_likelihood"].shape == (6, 2)
+    assert post["energy"].shape == (48, 2)
+    assert np.isfinite(post["log_likelihood"]).all()
+    # ll via the energy identity sits near the MLE-center log-likelihood
+    u0 = jnp.zeros(bf.dim)
+    ll0 = float(bf.log_likelihood_flat(bf.constrain(u0)["params_flat"]))
+    assert abs(np.median(post["log_likelihood"]) - ll0) < 200
