@@ -686,15 +686,31 @@ def run_chees_checkpointed(
     state_file = os.path.join(checkpoint_dir, "chees_state.npz")
     warmup_file = os.path.join(checkpoint_dir, "warmup.json")
 
-    state = chees_init(potential, q0, cfg, fast_potential, init_inv_mass)
     if os.path.exists(state_file):
-        state = load_pytree(state_file, state)
+        # resume: build a zero-cost template with the right shapes instead
+        # of evaluating the potential — chees_init vmaps the (possibly
+        # Pallas) potential over chains, which at production scale costs a
+        # multi-minute compile (and a batched kernel the VMEM budget may
+        # not even admit) only to be overwritten by the loaded state
+        _check_chain_count(q0.shape[0])
+        template = ChEESState(
+            q=q0,
+            U=jnp.zeros((q0.shape[0],), q0.dtype),
+            grad=jnp.zeros_like(q0),
+            key=jax.random.split(jax.random.PRNGKey(cfg.seed), q0.shape[0]),
+            step_size=jnp.zeros((), q0.dtype),
+            traj_len=jnp.zeros((), q0.dtype),
+            inv_mass=jnp.ones((q0.shape[-1],), q0.dtype),
+            iteration=jnp.zeros((), jnp.int32),
+        )
+        state = load_pytree(state_file, template)
         winfo = {"num_grad_evals": 0, "step_size": float("nan"),
                  "traj_len": float("nan")}
         if os.path.exists(warmup_file):
             with open(warmup_file) as f:
                 winfo = json.load(f)
     else:
+        state = chees_init(potential, q0, cfg, fast_potential, init_inv_mass)
         state, winfo = chees_warmup(potential, state, cfg, fast_potential)
         winfo = {
             "num_grad_evals": int(winfo["num_grad_evals"]),

@@ -66,21 +66,78 @@ def slope(n_data, use_pallas, compute_dtype, lo, hi):
     return (per[hi] - per[lo]) / (hi - lo)
 
 
+def sampler_shaped(n_data, use_pallas, compute_dtype, n_chains=4, n_leap=24):
+    """The warmup's exact execution shape: lax.map over chains of a
+    fori_loop of leapfrogs — isolates composition overhead vs plain
+    scan-of-grads."""
+    from jax import lax
+
+    from naz_tpu.bayes import BayesianFlow, make_flow_loglik
+    from naz_tpu.flows import maf_flow
+    from naz_tpu.mcmc.hmc import LeapfrogState, leapfrog
+
+    key = jax.random.PRNGKey(0)
+    lam = jax.random.uniform(key, (n_data, 2), minval=-1, maxval=1)
+    th = jax.random.normal(jax.random.PRNGKey(1), (n_data, 4)) * 0.5
+    flow = maf_flow(
+        4, n_layers=18, hidden_dims=(512,) * 5, context_dim=2, seed=0,
+        use_pallas=use_pallas, compute_dtype=compute_dtype,
+    )
+    params = flow.init_params(jax.random.PRNGKey(3))
+    bf = BayesianFlow(make_flow_loglik(flow, th, lam), params, scale_max=0.01)
+    pg = jax.value_and_grad(bf.potential_centered)
+    q0 = bf.init_positions(jax.random.PRNGKey(4), n_chains, jitter=0.01)
+    inv_mass = jnp.ones((q0.shape[-1],))
+
+    @jax.jit
+    def run(q, L):
+        U, g = jax.vmap(pg)(q) if n_chains > 1 else pg(q)
+        r = 1e-3 * jnp.ones_like(q)
+        s0 = LeapfrogState(q, r, U, g)
+
+        def body(_, s):
+            return lax.map(
+                lambda si: leapfrog(pg, si, 1e-9, inv_mass), s
+            )
+
+        s1 = lax.fori_loop(0, L, body, s0)
+        return s1.U.sum()
+
+    t0 = time.time()
+    float(run(q0, n_leap))
+    print(f"  sampler-shaped compile+run({n_leap} leaps x {n_chains} ch): "
+          f"{time.time() - t0:.0f}s", flush=True)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        float(run(q0, n_leap))
+        best = min(best, time.time() - t0)
+    per_chain_grad = best / (n_leap * n_chains)
+    print(f"  -> {per_chain_grad * 1e3:.0f} ms/chain-grad in sampler shape",
+          flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lo", type=int, default=6)
     ap.add_argument("--hi", type=int, default=18)
     ap.add_argument("--full-n", type=int, default=190_000)
+    ap.add_argument("--quick", action="store_true",
+                    help="full-N pallas-bf16 + xla-bf16 only")
     args = ap.parse_args()
 
     import bench
 
     bench.wait_for_chip()
-    for n_data in (args.full_n, args.full_n // 4):
+    combos = (
+        (True, "bfloat16", "pallas-bf16"),
+        (False, "bfloat16", "xla-bf16"),
+        (False, None, "xla-f32"),
+    )
+    ns = (args.full_n,) if args.quick else (args.full_n, args.full_n // 4)
+    for n_data in ns:
         for use_pallas, dtype, label in (
-            (True, "bfloat16", "pallas-bf16"),
-            (False, "bfloat16", "xla-bf16"),
-            (False, None, "xla-f32"),
+            combos[:2] if args.quick else combos
         ):
             print(f"[{label} N={n_data}]", flush=True)
             try:
@@ -89,6 +146,11 @@ def main():
                       flush=True)
             except Exception as e:
                 print(f"  -> FAILED: {type(e).__name__}: {e}", flush=True)
+    # composition overhead check at full N, production backend
+    print("[sampler-shaped pallas-bf16]", flush=True)
+    sampler_shaped(args.full_n, True, "bfloat16")
+    print("[sampler-shaped xla-bf16]", flush=True)
+    sampler_shaped(args.full_n, False, "bfloat16")
 
 
 if __name__ == "__main__":
