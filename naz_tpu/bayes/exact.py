@@ -70,7 +70,11 @@ def _streamed_posterior(bayes_flow, u_batches, out_thin: int, lean: bool):
     u_thin = np.concatenate(u_thin)
 
     out = bayes_flow.posterior_params(u_thin, lean=lean)
-    out["log_likelihood"] = ll
+    # contract (ADVICE r3): log_likelihood rows align 1:1 with
+    # params_flat rows in BOTH posterior modes; the full per-draw trace
+    # stays available under log_likelihood_trace for diagnostics
+    out["log_likelihood"] = ll[::out_thin]
+    out["log_likelihood_trace"] = ll
     out["thin"] = out_thin
     diag_axis = np.concatenate([ll[..., None], u_diag], axis=-1)
     out["diagnostics"] = {
@@ -82,7 +86,7 @@ def _streamed_posterior(bayes_flow, u_batches, out_thin: int, lean: bool):
 
 def _lean_posterior(
     bayes_flow, u_batches, energy, q8, thin_draws: int, out_thin: int,
-    lean: bool,
+    lean: bool, kept_idx=None,
 ):
     """Post-processing for lean (``thin_draws > 1``) sampling: the sampler
     already thinned positions on device and streamed per-draw scalar
@@ -106,13 +110,27 @@ def _lean_posterior(
     u_kept = np.concatenate(us)
     e_kept = np.concatenate(es)
     c = bayes_flow.constrain_host(u_kept, centered=True)
+    # thin metadata derives from the actual kept-draw spacing (the real
+    # cadence is max(thin_draws, steps_per_program), and the last batch
+    # may keep nothing) rather than restating the config's request
+    sel = None
+    if kept_idx is not None and np.size(kept_idx):
+        sel = np.asarray(kept_idx).reshape(-1)[::out_thin]
+    if sel is not None and sel.size > 1:
+        thin_actual = int(np.median(np.diff(sel)))
+    else:
+        thin_actual = thin_draws * out_thin
     out = {
         "scale": c["scale"],
         "params_flat": c["params_flat"],
-        "thin": thin_draws * out_thin,
+        "thin": thin_actual,
         "energy": energy,
         "log_likelihood": -(e_kept + c["log_det"] + c["log_prior"]),
     }
+    if sel is not None:
+        # global draw index of each params_flat/log_likelihood row —
+        # lets consumers align kept rows with the per-draw traces
+        out["kept_idx"] = sel
     if not lean:
         out["standard"] = c["standard"]
         out["params"] = jax.vmap(jax.vmap(bayes_flow.unravel))(
@@ -187,6 +205,7 @@ def fit_nuts(
         u_batches = _pairs()
         energy = posterior.get("energy")
         q8 = posterior.get("q8")
+        kept_idx = posterior.get("kept_idx")
         stats = {
             k: posterior[k] for k in ("accept_prob", "num_grad_evals", "diverging")
         }
@@ -206,6 +225,7 @@ def fit_nuts(
             u_batches = [(np.asarray(batch.q), None)]
         energy = batch.energy
         q8 = batch.q8
+        kept_idx = batch.kept_idx
         stats = {
             "accept_prob": np.asarray(batch.accept_prob),
             "num_grad_evals": np.asarray(batch.num_grad_evals),
@@ -216,7 +236,7 @@ def fit_nuts(
     if energy is not None:
         out = _lean_posterior(
             bayes_flow, u_batches, np.asarray(energy), np.asarray(q8),
-            cfg.thin_draws, out_thin, lean,
+            cfg.thin_draws, out_thin, lean, kept_idx=kept_idx,
         )
     else:
         out = _streamed_posterior(
@@ -297,6 +317,7 @@ def fit_chees(
                 * q0.shape[0],
                 "energy": posterior.get("energy"),
                 "q8": posterior.get("q8"),
+                "kept_idx": posterior.get("kept_idx"),
             },
             "step_size": float(posterior["step_size"]),
             "traj_len": float(posterior["traj_len"]),
@@ -322,7 +343,7 @@ def fit_chees(
         out = _lean_posterior(
             bayes_flow, u_batches, np.asarray(res["sampling"]["energy"]),
             np.asarray(res["sampling"]["q8"]), cfg.thin_draws, out_thin,
-            lean,
+            lean, kept_idx=res["sampling"].get("kept_idx"),
         )
     else:
         out = _streamed_posterior(

@@ -26,6 +26,7 @@ def maf_flow(
     compute_dtype=None,
     remat: bool = True,
     simple_masking: bool = True,
+    scan_unroll: int = 1,
 ) -> Flow:
     """Convenience factory mirroring the reference's ``flow_type="maf"``
     (``/root/reference/src/naz/flows/flow.py:21-42``): a Flow with a single
@@ -52,6 +53,7 @@ def maf_flow(
             compute_dtype=compute_dtype,
             remat=remat,
             simple_masking=simple_masking,
+            scan_unroll=scan_unroll,
         )
         return Flow(dim=dim, transforms=(t,), bounds=bounds, embedding=embedding)
     if norm not in ("actnorm", "batchnorm"):

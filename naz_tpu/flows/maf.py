@@ -108,6 +108,17 @@ class MaskedAutoregressiveFlow:
     # x [150]^3, 4 chains) stored residuals exceed 40 GB — far past HBM —
     # while remat keeps only the (batch, dim) carries. ~17% extra FLOPs.
     remat: bool = True
+    # lax.scan unroll factor for the layer walk. The per-op profile
+    # (PERF_PROFILE.json, PERFORMANCE.md "closing the roofline account")
+    # shows the production grad eval spends ~4-6 ms/iter in while-loop
+    # bookkeeping around the scanned backward: async copies of
+    # (batch, hidden) activation/cotangent buffers at iteration
+    # boundaries and dynamic-update-slice fusions accumulating per-layer
+    # weight grads into the stacked (L, out, in) buffers. Unrolling the
+    # scan turns the layer index static so those become plain dataflow
+    # XLA can fuse. Costs compile time (body duplicated unroll times);
+    # set to n_layers for full unroll on small-depth production shapes.
+    scan_unroll: int = 1
 
     # -- construction ------------------------------------------------------
 
@@ -131,6 +142,7 @@ class MaskedAutoregressiveFlow:
         compute_dtype: Optional[str] = None,
         remat: bool = True,
         simple_masking: bool = True,
+        scan_unroll: int = 1,
     ) -> "MaskedAutoregressiveFlow":
         rng = np.random.default_rng(seed)
         if permutations is None:
@@ -164,6 +176,7 @@ class MaskedAutoregressiveFlow:
             pallas_bf16=pallas_bf16,
             compute_dtype=compute_dtype,
             remat=remat,
+            scan_unroll=scan_unroll,
         )
 
     def init_params(self, key, scale: float = 1e-2):
@@ -227,6 +240,13 @@ class MaskedAutoregressiveFlow:
     def _maybe_remat(self, body):
         return jax.checkpoint(body) if self.remat else body
 
+    def _layer_scan(self, body, init, xs, reverse=False):
+        """The layer walk: a (possibly unrolled, possibly remat'd) scan."""
+        return lax.scan(
+            self._maybe_remat(body), init, xs, reverse=reverse,
+            unroll=min(self.scan_unroll, self.n_layers),
+        )
+
     def _layer_keys(self, dropout_key):
         """Per-flow-layer dropout keys as scan xs (None -> no dropout)."""
         if dropout_key is None or self.dropout_rate == 0.0:
@@ -255,7 +275,7 @@ class MaskedAutoregressiveFlow:
             return (z, ld + d), None
 
         init = (x, jnp.zeros(x.shape[:-1], dtype=x.dtype))
-        (z, ld), _ = lax.scan(self._maybe_remat(body), init, (params, self.masks, keys))
+        (z, ld), _ = self._layer_scan(body, init, (params, self.masks, keys))
         return z, ld
 
     # -- Pallas kernel selection -------------------------------------------
@@ -378,7 +398,7 @@ class MaskedAutoregressiveFlow:
             return (x, ld + d), None
 
         init = (z, jnp.zeros(z.shape[:-1], dtype=z.dtype))
-        (x, ld), _ = lax.scan(self._maybe_remat(body), init, (params, self.masks, keys), reverse=True)
+        (x, ld), _ = self._layer_scan(body, init, (params, self.masks, keys), reverse=True)
         return x, ld
 
     def _sequential_pallas_impl(self, params, z, context):
@@ -470,7 +490,7 @@ class MaskedAutoregressiveFlow:
             return (x, ld + d), None
 
         init = (y, jnp.zeros(y.shape[:-1], dtype=y.dtype))
-        (x, ld), _ = lax.scan(self._maybe_remat(body), init, (params, self.masks, keys), reverse=True)
+        (x, ld), _ = self._layer_scan(body, init, (params, self.masks, keys), reverse=True)
         return x, ld
 
     def _one_pass_as_inverse(self, params, z, context, dropout_key=None):
@@ -484,7 +504,7 @@ class MaskedAutoregressiveFlow:
             return (y, ld + d), None
 
         init = (z, jnp.zeros(z.shape[:-1], dtype=z.dtype))
-        (y, ld), _ = lax.scan(self._maybe_remat(body), init, (params, self.masks, keys))
+        (y, ld), _ = self._layer_scan(body, init, (params, self.masks, keys))
         return y, ld
 
     def _prep_context(self, x, context):

@@ -562,7 +562,13 @@ def chees_sample(
             if done >= next_keep:
                 qs.append(np.asarray(state.q))
                 kept.append(done - 1)
-                next_keep += cfg.thin_draws
+                # advance past *every* boundary this chunk crossed: with
+                # steps_per_program > thin_draws only the chunk-final
+                # position exists to keep, and bumping by a single
+                # thin_draws would let next_keep lag behind done so the
+                # keep schedule silently drifts to once-per-chunk while
+                # the metadata still claims thin_draws spacing
+                next_keep = (done // cfg.thin_draws + 1) * cfg.thin_draws
         else:
             q, a, L = out
             qs.append(np.asarray(q))
@@ -654,6 +660,8 @@ def run_chees_checkpointed(
     callback=None,
     init_inv_mass: jnp.ndarray = None,
     assemble: bool = True,
+    potential_tag: str = "centered",
+    place: Callable = None,
 ) -> dict:
     """Elastic checkpointed ChEES sampling (the reference's
     ``train_bayesian_flow`` semantics, ``bflow_jax_maf.py:355-404``, for
@@ -676,15 +684,30 @@ def run_chees_checkpointed(
     resumed run reports them instead of NaNs). With ``assemble=False``
     the returned dict has ``batch_files`` (paths, draw-ordered) instead of
     ``q`` — callers stream batches (``naz_tpu.bayes.exact`` does) instead
-    of materializing a production posterior in host RAM."""
+    of materializing a production posterior in host RAM.
+
+    ``place``: optional ``state -> state`` placement hook (e.g.
+    ``lambda s: shard_chees_state(s, mesh)``) applied to the freshly
+    initialized AND the checkpoint-loaded state — checkpoints round-trip
+    through host numpy, so without re-placement a resumed multi-chip run
+    silently degrades to replicated execution."""
     import json
     import os
+    import warnings
 
     from naz_tpu.io.checkpoint import load_pytree, save_pytree
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     state_file = os.path.join(checkpoint_dir, "chees_state.npz")
     warmup_file = os.path.join(checkpoint_dir, "warmup.json")
+
+    if cfg.thin_draws > 1 and cfg.thin_draws > nbatch:
+        raise ValueError(
+            f"thin_draws={cfg.thin_draws} > nbatch={nbatch}: each round "
+            "draws nbatch samples per chain and keeps positions only at "
+            "thin_draws boundaries, so no position would ever be kept "
+            "(an empty posterior). Lower --thin-draws or raise --nbatch."
+        )
 
     if os.path.exists(state_file):
         # resume: build a zero-cost template with the right shapes instead
@@ -704,18 +727,47 @@ def run_chees_checkpointed(
             iteration=jnp.zeros((), jnp.int32),
         )
         state = load_pytree(state_file, template)
+        if place is not None:
+            state = place(state)
         winfo = {"num_grad_evals": 0, "step_size": float("nan"),
                  "traj_len": float("nan")}
         if os.path.exists(warmup_file):
             with open(warmup_file) as f:
                 winfo = json.load(f)
+        # potential-convention stamp (ADVICE r3): the stored state.U was
+        # computed under a specific potential convention (e.g. the
+        # centered potential, offset by -P*log2 from the uncentered one).
+        # Resuming under a *different* convention makes the first
+        # post-resume Metropolis delta wrong by that offset per chain —
+        # a silently biased (force-accepted or force-rejected) step.
+        stored_tag = winfo.get("potential")
+        if stored_tag is None:
+            warnings.warn(
+                f"checkpoint {checkpoint_dir} predates the potential-"
+                f"convention stamp; assuming it matches the current "
+                f"'{potential_tag}' convention. If this checkpoint was "
+                "written before the centered-potential change, delete it "
+                "and re-warm instead of resuming.",
+                stacklevel=2,
+            )
+        elif stored_tag != potential_tag:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir} was written under potential "
+                f"convention '{stored_tag}' but this run uses "
+                f"'{potential_tag}': the stored chain energies are offset "
+                "and the first resumed transition per chain would bypass "
+                "the MH correction. Re-warm in a fresh checkpoint dir."
+            )
     else:
         state = chees_init(potential, q0, cfg, fast_potential, init_inv_mass)
+        if place is not None:
+            state = place(state)
         state, winfo = chees_warmup(potential, state, cfg, fast_potential)
         winfo = {
             "num_grad_evals": int(winfo["num_grad_evals"]),
             "step_size": float(winfo["step_size"]),
             "traj_len": float(winfo["traj_len"]),
+            "potential": potential_tag,
         }
         save_pytree(state_file, state)
         with open(warmup_file, "w") as f:
@@ -768,14 +820,23 @@ def run_chees_checkpointed(
         with np.load(files[0]) as z0:
             if "energy" in z0.files:
                 small.update(energy=[], q8=[])
+    kept_global, offset = [], 0
     for f in files:
         with np.load(f) as z:
             for k in small:
                 small[k].append(z[k])
+            # batch files store kept_idx batch-relative; rebase to the
+            # global draw index so consumers can align kept positions
+            # with the per-draw scalar traces
+            if "kept_idx" in z.files:
+                kept_global.append(np.asarray(z["kept_idx"]) + offset)
+            offset += z["accept_prob"].shape[0]
     posterior = {
         k: (np.concatenate(v, axis=0) if v else np.zeros((0,)))
         for k, v in small.items()
     }
+    if kept_global:
+        posterior["kept_idx"] = np.concatenate(kept_global)
     if assemble:
         posterior["q"] = np.concatenate(
             [np.load(f)["q"] for f in files], axis=0

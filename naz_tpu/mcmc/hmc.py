@@ -134,21 +134,27 @@ def find_reasonable_step_size(
         delta = jnp.where(jnp.isnan(H1), jnp.inf, H1 - H0)
         return jnp.exp(jnp.minimum(0.0, -delta))
 
-    p0 = accept_prob(jnp.asarray(init_step))
+    p0 = accept_prob(jnp.asarray(init_step, q.dtype))
     direction = jnp.where(p0 > 0.5, 1.0, -1.0)
 
+    # carry the accept prob so each candidate step is probed exactly once
+    # (evaluating it in cond re-ran the leapfrog on every check — a
+    # duplicated gradient per iteration — and made the eval count drift
+    # from the work actually performed)
     def cond(carry):
-        step, i = carry
-        p = accept_prob(step)
+        step, p, i = carry
         crossed = jnp.where(direction > 0, p <= 0.5, p >= 0.5)
         return (~crossed) & (i < max_iters)
 
     def body(carry):
-        step, i = carry
-        return step * jnp.where(direction > 0, 2.0, 0.5), i + 1
+        step, p, i = carry
+        new = step * jnp.where(direction > 0, 2.0, 0.5)
+        return new, accept_prob(new), i + 1
 
-    step, iters = lax.while_loop(
-        cond, body, (jnp.asarray(init_step, q.dtype), jnp.zeros((), jnp.int32))
+    step, _, iters = lax.while_loop(
+        cond,
+        body,
+        (jnp.asarray(init_step, q.dtype), p0, jnp.zeros((), jnp.int32)),
     )
-    # 1 eval for (U0, grad0), 1 for p0, and one per cond evaluation
-    return step, iters + 3
+    # 1 eval for (U0, grad0), 1 for p0, and one per body trial step
+    return step, iters + 2

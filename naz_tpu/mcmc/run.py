@@ -454,6 +454,7 @@ def run_nuts_checkpointed(
     callback: Optional[Callable] = None,
     init_inv_mass: jnp.ndarray = None,
     assemble: bool = True,
+    potential_tag: str = "centered",
 ) -> dict:
     """Elastic checkpointed sampling (reference ``train_bayesian_flow``).
 
@@ -467,23 +468,60 @@ def run_nuts_checkpointed(
     can stream draws batch by batch.
     """
     import os
+    import warnings
 
     from naz_tpu.io.checkpoint import load_pytree, save_pytree
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     state_file = os.path.join(checkpoint_dir, "mcmc_state.npz")
 
-    state = init_chains(potential, q0, cfg, init_inv_mass)
+    if cfg.thin_draws > 1 and cfg.thin_draws > nbatch:
+        raise ValueError(
+            f"thin_draws={cfg.thin_draws} > nbatch={nbatch}: each round "
+            "draws nbatch samples per chain and keeps positions only at "
+            "thin_draws boundaries, so no position would ever be kept "
+            "(an empty posterior). Lower --thin-draws or raise --nbatch."
+        )
+
     warmup_file = os.path.join(checkpoint_dir, "warmup.json")
     if os.path.exists(state_file):
-        state = load_pytree(state_file, state)
+        # resume: zero-cost shape template instead of init_chains, which
+        # vmaps potential+grad over chains — at production scale a
+        # multi-minute compile (and a batched kernel the VMEM budget may
+        # not admit) discarded immediately by the loaded state
+        template = ChainState(
+            q=q0,
+            U=jnp.zeros((q0.shape[0],), q0.dtype),
+            grad=jnp.zeros_like(q0),
+            key=jax.random.split(jax.random.PRNGKey(cfg.seed), q0.shape[0]),
+            step_size=jnp.zeros((q0.shape[0],), q0.dtype),
+            inv_mass=jnp.ones_like(q0),
+        )
+        state = load_pytree(state_file, template)
         winfo = {"num_grad_evals": 0, "step_size": []}
         if os.path.exists(warmup_file):
             import json
 
             with open(warmup_file) as f:
                 winfo = json.load(f)
+        stored_tag = winfo.get("potential")
+        if stored_tag is None:
+            warnings.warn(
+                f"checkpoint {checkpoint_dir} predates the potential-"
+                f"convention stamp; assuming it matches the current "
+                f"'{potential_tag}' convention.",
+                stacklevel=2,
+            )
+        elif stored_tag != potential_tag:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir} was written under potential "
+                f"convention '{stored_tag}' but this run uses "
+                f"'{potential_tag}': stored chain energies are offset and "
+                "the first resumed transition per chain would bypass the "
+                "MH correction. Re-warm in a fresh checkpoint dir."
+            )
     else:
+        state = init_chains(potential, q0, cfg, init_inv_mass)
         state, wi = warmup_nuts(potential, state, cfg)
         # persist warmup diagnostics (parity with the ChEES driver's
         # warmup.json — VERDICT r2 weak #4: a resumed run must report the
@@ -491,6 +529,7 @@ def run_nuts_checkpointed(
         winfo = {
             "num_grad_evals": int(wi.num_grad_evals),
             "step_size": np.asarray(wi.step_size).tolist(),
+            "potential": potential_tag,
         }
         save_pytree(state_file, state)
         import json
@@ -545,14 +584,22 @@ def run_nuts_checkpointed(
         with np.load(files[0]) as z0:
             if "energy" in z0.files:
                 small.update(energy=[], q8=[])
+    kept_global, offset = [], 0
     for f in files:
         with np.load(f) as z:
             for k in small:
                 small[k].append(z[k])
+            # kept_idx is stored batch-relative; rebase to global draw
+            # indices for alignment with the per-draw scalar traces
+            if "kept_idx" in z.files:
+                kept_global.append(np.asarray(z["kept_idx"]) + offset)
+            offset += z["accept_prob"].shape[0]
     posterior = {
         k: (np.concatenate(v, axis=0) if v else np.zeros((0,)))
         for k, v in small.items()
     }
+    if kept_global:
+        posterior["kept_idx"] = np.concatenate(kept_global)
     if assemble:
         posterior["q"] = np.concatenate([np.load(f)["q"] for f in files], axis=0)
     else:

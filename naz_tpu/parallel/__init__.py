@@ -1,6 +1,7 @@
 from naz_tpu.parallel.mesh import (
     make_mesh,
     shard_chain_state,
+    shard_chees_state,
     shard_data,
     sharded_loglik,
 )
@@ -9,6 +10,7 @@ from naz_tpu.parallel.distributed import initialize_multihost
 __all__ = [
     "make_mesh",
     "shard_chain_state",
+    "shard_chees_state",
     "shard_data",
     "sharded_loglik",
     "initialize_multihost",

@@ -83,3 +83,28 @@ def sharded_loglik(flow, x, context=None, mesh: Optional[Mesh] = None):
         if context is not None:
             context = shard_data(context, mesh)
     return lambda params: flow.log_prob(params, x, context=context)
+
+
+def shard_chees_state(state, mesh: Mesh):
+    """Place a ``ChEESState`` on the mesh with semantically correct specs:
+    per-chain leaves (``q``, ``U``, ``grad``, ``key`` — leading axis =
+    chains) shard over the ``chains`` mesh axis; the cross-chain shared
+    adaptation state (``step_size``, ``traj_len``, ``inv_mass``,
+    ``iteration``) replicates. (``shard_chain_state`` would shard the
+    (dim,) ``inv_mass`` over the chain axis — legal but a nonsense
+    layout that forces an all-gather in every leapfrog.)"""
+    from naz_tpu.mcmc.chees import ChEESState
+
+    def put(x, spec):
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+    return ChEESState(
+        q=put(state.q, P("chains")),
+        U=put(state.U, P("chains")),
+        grad=put(state.grad, P("chains")),
+        key=put(state.key, P("chains")),
+        step_size=put(state.step_size, P()),
+        traj_len=put(state.traj_len, P()),
+        inv_mass=put(state.inv_mass, P()),
+        iteration=put(state.iteration, P()),
+    )

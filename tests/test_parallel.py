@@ -147,3 +147,48 @@ def test_sharded_loglik_composes_with_pallas():
     v_p = jax.jit(lambda p: sharded_loglik(flow_p, x, context=c, mesh=mesh)(p).sum())(params)
     v_j = jax.jit(lambda p: sharded_loglik(flow_j, x, context=c, mesh=mesh)(p).sum())(params)
     assert abs(float(v_p) - float(v_j)) < 1e-3
+
+
+def test_multichip_pipeline_end_to_end_statistical(tmp_path):
+    """The complete production pipeline under a {chains: 4, data: 2} mesh
+    (VERDICT r3 #5): data-sharded MLE refinement -> windowed ChEES warmup
+    -> checkpointed sampling -> simulated kill -> resume (zero-cost
+    template + mesh re-placement) -> R-hat/ESS — on the production-SHAPED
+    model (full 16-layer stacked-weight scan, conditional context; width
+    thinned for CPU, 22k weights), asserting statistical agreement with
+    the identical unsharded run. Sharded and unsharded runs use the same
+    seeds but different reduction orders, so agreement is distributional
+    (moments within MC error), not bitwise."""
+    from naz_tpu.parallel import make_mesh
+    from naz_tpu.parallel.pipeline import multichip_pipeline
+
+    kw = dict(num_warmup=150, num_samples=96, seed=0)
+    mesh = make_mesh(4, 2)
+    sharded = multichip_pipeline(
+        mesh=mesh, checkpoint_dir=str(tmp_path / "ckpt"), **kw
+    )
+    plain = multichip_pipeline(mesh=None, checkpoint_dir=None, **kw)
+
+    # the kill/resume checkpointed sharded run produced the full trace
+    assert sharded["samples_shape"][0] == 96
+    assert sharded["samples_shape"] == plain["samples_shape"]
+
+    for out in (sharded, plain):
+        assert 0.4 < out["mean_accept"] < 0.95
+        assert out["ess"].min() > 30
+        assert np.isfinite(out["split_rhat"]).all()
+
+    # adaptation agreement: both runs tuned to the same posterior
+    assert 0.5 < sharded["step_size"] / plain["step_size"] < 2.0
+    assert 0.5 < sharded["traj_len"] / plain["traj_len"] < 2.0
+
+    # distributional agreement on the 8-coordinate diagnostic projection:
+    # means within 5 standard errors (se = sd/sqrt(ESS_min)), sds within 2x
+    se = np.maximum(
+        sharded["proj_std"] / np.sqrt(sharded["ess"].min()),
+        plain["proj_std"] / np.sqrt(plain["ess"].min()),
+    )
+    z = np.abs(sharded["proj_mean"] - plain["proj_mean"]) / se
+    assert z.max() < 5.0, f"projection mean z-scores {z}"
+    ratio = sharded["proj_std"] / plain["proj_std"]
+    assert ratio.max() < 2.0 and ratio.min() > 0.5, f"std ratios {ratio}"
