@@ -260,6 +260,18 @@ def main(argv=None):
     )
     sp.add_argument("--num-particles", type=int, default=1)
     sp.add_argument("--evidence-samples", type=int, default=1000)
+    sp.add_argument(
+        "--evidence-batch", type=int, default=None,
+        help="IS draws per device batch (production scale: each draw's "
+        "likelihood streams the full training set — batch ~8 keeps the "
+        "vmapped activations inside HBM)",
+    )
+    sp.add_argument(
+        "--posterior-draws", type=int, default=1000,
+        help="guide draws saved to --out (production scale: the flat "
+        "draws are draws x P floats of device->host traffic — 128 is "
+        "plenty for calibration/comparison consumers)",
+    )
     sp.add_argument("--out", required=True)
 
     vp = sub.add_parser(
@@ -895,16 +907,30 @@ def main(argv=None):
             ),
         )
         ev = importance_evidence(
-            bf, svi, jax.random.PRNGKey(args.seed), num_samples=args.evidence_samples
+            bf, svi, jax.random.PRNGKey(args.seed),
+            num_samples=args.evidence_samples, batch_size=args.evidence_batch,
         )
-        draws = sample_svi_posterior(bf, svi, jax.random.PRNGKey(args.seed + 1), 1000)
-        extra = {}
+        draws = sample_svi_posterior(
+            bf, svi, jax.random.PRNGKey(args.seed + 1), args.posterior_draws,
+            lean=True,
+        )
+        # per-draw log-likelihoods (batched: each is a full-training-set
+        # pass): BIC and the NUTS-vs-SVI comparison consume these, same
+        # contract as the hmc posterior npz
+        pf = draws["params_flat"]
+        lls = []
+        bs = max(1, args.evidence_batch or 8)
+        ll_fn = jax.jit(jax.vmap(bf.log_likelihood_flat))
+        for i in range(0, pf.shape[0], bs):
+            lls.append(np.asarray(ll_fn(pf[i : i + bs])))
+        ll = np.concatenate(lls)
+        extra = {"log_likelihood": ll}
         if not bf.fixed_scale:
-            extra = {
-                "scale": np.asarray(draws["scale"]),
-                "scale_mu": np.asarray(svi.guide_params["scale_mu"]),
-                "scale_sigma": np.asarray(svi.guide_params["scale_sigma"]),
-            }
+            extra.update(
+                scale=np.asarray(draws["scale"]),
+                scale_mu=np.asarray(svi.guide_params["scale_mu"]),
+                scale_sigma=np.asarray(svi.guide_params["scale_sigma"]),
+            )
         np.savez(
             args.out,
             params_flat=np.asarray(draws["params_flat"]),
@@ -920,6 +946,8 @@ def main(argv=None):
                     "log_evidence": ev.log_evidence,
                     "log_evidence_se": ev.log_evidence_se,
                     "is_ess": ev.ess,
+                    "evidence_samples": ev.num_samples,
+                    "max_log_likelihood": float(np.max(ll)),
                 }
             )
         )

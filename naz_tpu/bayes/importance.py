@@ -57,7 +57,7 @@ def importance_evidence(
             # prior's support exactly; for normal/standard_normal priors
             # the guide is an untruncated Normal (bayes/svi.py), so the
             # support condition q > 0 wherever p > 0 holds there too.
-            draws = sample_svi_posterior(bf, svi_result, k, n)
+            draws = sample_svi_posterior(bf, svi_result, k, n, lean=True)
             log_q = guide_log_prob(
                 bf, svi_result, draws["standard"],
                 None if bf.fixed_scale else draws["scale"],

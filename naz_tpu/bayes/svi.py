@@ -192,10 +192,16 @@ def fit_svi(
 
 
 def sample_svi_posterior(
-    bayes_flow: BayesianFlow, result: SVIResult, key, num_samples: int
+    bayes_flow: BayesianFlow, result: SVIResult, key, num_samples: int,
+    lean: bool = False,
 ) -> dict:
     """Posterior draws from the fitted guide (reference ``Predictive(guide)``
-    path, ``bflow_jax_maf.py:350-353``)."""
+    path, ``bflow_jax_maf.py:350-353``).
+
+    ``lean=True`` skips the unraveled ``params`` pytree — at production
+    scale that is a second full (draws, P) copy on device, and every
+    downstream consumer (calibration, BIC, comparison) reads the flat
+    layout."""
     bf = bayes_flow
     g = jax.tree.map(jnp.asarray, result.guide_params)
     q = _guide_dist(bf, g)
@@ -207,12 +213,14 @@ def sample_svi_posterior(
         qs = _scale_guide_dist(bf, g)
         scale = qs.sample(k_scale, (num_samples,) + _scale_shape(bf))
     params_flat = bf.params_flat_from(std, scale)
-    return {
+    out = {
         "standard": std,
         "scale": scale,
         "params_flat": params_flat,
-        "params": jax.vmap(bf.unravel)(params_flat),
     }
+    if not lean:
+        out["params"] = jax.vmap(bf.unravel)(params_flat)
+    return out
 
 
 def guide_log_prob(bayes_flow: BayesianFlow, result: SVIResult, std, scale=None):
