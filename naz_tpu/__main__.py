@@ -213,6 +213,16 @@ def main(argv=None):
         "freezing the chains (chees only)",
     )
     hp.add_argument(
+        "--leapfrogs-per-program", type=int, default=0,
+        help="split each sampling-phase ChEES trajectory across device "
+        "programs of at most this many leapfrog steps (0 = whole "
+        "trajectory per program). Lets --max-leapfrogs reach the adapted "
+        "T/eps under a program-runtime watchdog: carries stay on-device "
+        "between dispatches, one dynamic-trip-count executable serves "
+        "every chunk size (chees only; takes effect on the sampling "
+        "phase, i.e. resumed/warmed runs)",
+    )
+    hp.add_argument(
         "--out-thin", type=int, default=1,
         help="keep every Nth draw's weights in the output posterior "
         "(diagnostics and the log-likelihood trace always use all draws); "
@@ -814,6 +824,7 @@ def main(argv=None):
                     steps_per_program=args.steps_per_program,
                     max_leapfrogs=args.max_leapfrogs,
                     min_leapfrogs=args.min_leapfrogs,
+                    leapfrogs_per_program=args.leapfrogs_per_program,
                     thin_draws=args.thin_draws,
                     verbose=True,
                 ),

@@ -125,6 +125,20 @@ class ChEESConfig:
     thin_draws: int = 1
     seed: int = 0
     steps_per_program: int = 50
+    # Split each trajectory's leapfrog integration across multiple device
+    # programs of at most this many steps (0 = whole trajectory in one
+    # program, the default). The production environment's remote worker
+    # kills device programs running longer than ~1 minute, which at the
+    # 19M-weight scale caps max_leapfrogs at ~96 — 13% of the adapted
+    # trajectory length T/eps ~ 718, forcing diffusive exploration whose
+    # mixing per chip-second scales linearly in L (PERFORMANCE.md r4).
+    # With chunking the host drives ceil(L/chunk) dispatches per draw
+    # (carries stay on-device; ~0.1-0.4 s dispatch overhead each) and a
+    # single compiled segment program with a dynamic trip count serves
+    # every chunk size, so L can reach the adapted T. Sampling-phase
+    # feature; warmup keeps whole-trajectory programs (use it after a
+    # warmed checkpoint, the resume path).
+    leapfrogs_per_program: int = 0
     # chain execution inside the program: "vmap" (lockstep batched — the
     # natural ChEES layout) or "map" (sequential; only when one chain
     # saturates the chip)
@@ -292,6 +306,80 @@ def chees_step(
         q=q, U=U, grad=grad, key=k_next, iteration=state.iteration + 1
     )
     return new_state, ChEESInfo(accept_prob, L, diverging)
+
+
+def make_chunked_step(pg: Callable, cfg: ChEESConfig, exact_U=None):
+    """Host-driven ChEES transition with the trajectory split across
+    watchdog-safe device programs (``cfg.leapfrogs_per_program`` steps
+    max per program).
+
+    Returns ``step(state) -> (new_state, ChEESInfo)`` — the same
+    transition :func:`chees_step` computes (identical RNG stream, same
+    Halton trajectory jitter, same MH correction), but as three jitted
+    pieces the host sequences: ``_start`` (momentum draw + H0 + L),
+    repeated ``_segment`` calls (a dynamic-trip-count leapfrog loop, so
+    ONE compilation serves every chunk size), and ``_finish`` (exact-
+    energy MH accept). Chain carries stay on-device between dispatches;
+    the only device->host traffic per draw is the scalar ``L``."""
+    chunk = int(cfg.leapfrogs_per_program)
+    assert chunk > 0
+
+    if cfg.chain_exec == "vmap":
+        step_all = lambda s, eps, im: jax.vmap(
+            lambda si: leapfrog(pg, si, eps, im)
+        )(s)
+    elif cfg.chain_exec == "map":
+        step_all = lambda s, eps, im: lax.map(
+            lambda si: leapfrog(pg, si, eps, im), s
+        )
+    else:
+        raise ValueError(f"chain_exec must be 'vmap' or 'map', got {cfg.chain_exec!r}")
+
+    @jax.jit
+    def _start(state):
+        h = halton(state.iteration)
+        L = jnp.ceil(h * state.traj_len / state.step_size).astype(jnp.int32)
+        L = jnp.clip(L, max(1, cfg.min_leapfrogs), cfg.max_leapfrogs)
+        keys = jax.vmap(jax.random.split)(state.key)
+        k_mom, k_next = keys[:, 0], keys[:, 1]
+        r0 = jax.vmap(
+            lambda k, q: jax.random.normal(k, q.shape) / jnp.sqrt(state.inv_mass)
+        )(k_mom, state.q)
+        H0 = state.U + kinetic(r0, state.inv_mass[None, :])
+        s0 = LeapfrogState(state.q, r0, state.U, state.grad)
+        return s0, H0, k_next, L
+
+    @jax.jit
+    def _segment(s, step_size, inv_mass, n):
+        # dynamic trip count: runtime scales with the actual n <= chunk,
+        # and one executable serves full chunks and the remainder alike
+        return lax.fori_loop(0, n, lambda i, si: step_all(si, step_size, inv_mass), s)
+
+    @jax.jit
+    def _finish(state, s1, H0, k_next, L):
+        accept_prob, diverging, U1 = _accept(s1, H0, state, exact_U)
+        k_acc = jax.vmap(lambda k: jax.random.fold_in(k, 1))(k_next)
+        u = jax.vmap(lambda k: jax.random.uniform(k, ()))(k_acc)
+        accept = u < accept_prob
+        q = jnp.where(accept[:, None], s1.q, state.q)
+        U = jnp.where(accept, U1, state.U)
+        grad = jnp.where(accept[:, None], s1.grad, state.grad)
+        new_state = state._replace(
+            q=q, U=U, grad=grad, key=k_next, iteration=state.iteration + 1
+        )
+        return new_state, ChEESInfo(accept_prob, L, diverging)
+
+    def step(state):
+        s1, H0, k_next, L = _start(state)
+        L_host = int(L)  # one scalar transfer per draw
+        done = 0
+        while done < L_host:
+            n = min(chunk, L_host - done)
+            s1 = _segment(s1, state.step_size, state.inv_mass, n)
+            done += n
+        return _finish(state, s1, H0, k_next, L)
+
+    return step
 
 
 class _WarmupCarry(NamedTuple):
@@ -522,6 +610,9 @@ def chees_sample(
     k8 = min(8, state.q.shape[-1])
     lean = cfg.thin_draws > 1
 
+    if cfg.leapfrogs_per_program > 0:
+        return _chees_sample_chunked(pg, exact_U, state, cfg, timings)
+
     def one(carry, _):
         new_state, info = chees_step(pg, carry, cfg, exact_U)
         if lean:
@@ -606,6 +697,60 @@ def chees_sample(
     # stream back to the device in chunks wherever they are consumed
     # (posterior_params, _loglik_of_draws).
     return state, samples, info
+
+
+def _chees_sample_chunked(pg, exact_U, state, cfg, timings=None):
+    """Sampling loop for ``cfg.leapfrogs_per_program > 0``: the host
+    sequences one :func:`make_chunked_step` transition per draw (each a
+    handful of watchdog-safe device programs), with the same lean
+    thinning and info contract as the scanned path. Draw granularity is
+    1, so thin boundaries land exactly on ``thin_draws`` multiples."""
+    import time as _time
+
+    k8 = min(8, state.q.shape[-1])
+    lean = cfg.thin_draws > 1
+    step = make_chunked_step(pg, cfg, exact_U)
+
+    qs, accs, Ls, Us, q8s, kept = [], [], [], [], [], []
+    for done in range(1, cfg.num_samples + 1):
+        _t0 = _time.time()
+        state, info = step(state)
+        if timings is not None:
+            jax.block_until_ready(state.q)
+            timings.append((1, _time.time() - _t0))
+        accs.append(np.asarray(info.accept_prob)[None])
+        Ls.append(np.asarray(info.num_leapfrogs)[None])
+        if lean:
+            Us.append(np.asarray(state.U)[None])
+            q8s.append(np.asarray(state.q[:, :k8])[None])
+            if done % cfg.thin_draws == 0:
+                qs.append(np.asarray(state.q))
+                kept.append(done - 1)
+        else:
+            qs.append(np.asarray(state.q)[None])
+        if cfg.verbose:
+            print(f"chees sampling {done}/{cfg.num_samples}", flush=True)
+
+    if lean:
+        samples = np.stack(qs) if qs else np.zeros((0,) + state.q.shape)
+    else:
+        samples = np.concatenate(qs) if qs else np.zeros((0,) + state.q.shape)
+    info_out = {
+        "accept_prob": np.concatenate(accs) if accs else np.zeros(0),
+        "num_leapfrogs": np.concatenate(Ls) if Ls else np.zeros(0, np.int32),
+        "num_grad_evals": int(np.sum(np.concatenate(Ls))) * state.q.shape[0]
+        if Ls
+        else 0,
+    }
+    if lean:
+        info_out["energy"] = (
+            np.concatenate(Us) if Us else np.zeros((0, state.q.shape[0]))
+        )
+        info_out["q8"] = (
+            np.concatenate(q8s) if q8s else np.zeros((0, state.q.shape[0], k8))
+        )
+        info_out["kept_idx"] = np.asarray(kept, np.int64)
+    return state, samples, info_out
 
 
 def run_chees(

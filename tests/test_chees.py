@@ -460,3 +460,46 @@ def test_chees_windowed_warmup_statistical_64dim():
         [np.corrcoef(flat[:, i], flat[:, i + 1])[0, 1] for i in range(d - 1)]
     )
     np.testing.assert_allclose(nbr.mean(), rho, atol=0.05)
+
+
+def test_chees_chunked_trajectory_matches_monolithic():
+    """leapfrogs_per_program splits trajectories across device programs;
+    the transition must be the SAME kernel as the monolithic path: same
+    Halton L sequence, same RNG stream, same accepts — identical draws
+    up to float reassociation across program boundaries."""
+    import dataclasses
+
+    from naz_tpu.mcmc.chees import chees_init, chees_sample, chees_warmup
+
+    scales = jnp.array([1.0, 3.0, 0.5, 2.0])
+    U = _gaussian_potential(scales)
+    base = ChEESConfig(
+        num_warmup=150, num_samples=24, num_chains=8, seed=2,
+        init_step_size=0.5, max_leapfrogs=64, steps_per_program=4,
+    )
+    q0 = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (8, 4))
+    state = chees_init(U, q0, base)
+    state, _ = chees_warmup(U, state, base)
+
+    _, s_mono, i_mono = chees_sample(U, state, base)
+    chunked = dataclasses.replace(base, leapfrogs_per_program=2)
+    _, s_chunk, i_chunk = chees_sample(U, state, chunked)
+
+    np.testing.assert_array_equal(i_mono["num_leapfrogs"], i_chunk["num_leapfrogs"])
+    assert i_mono["num_leapfrogs"].max() > 2  # chunking actually engaged
+    np.testing.assert_allclose(
+        np.asarray(i_mono["accept_prob"]), np.asarray(i_chunk["accept_prob"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_mono), np.asarray(s_chunk), rtol=1e-4, atol=1e-5
+    )
+
+    # lean mode: per-draw traces + thin boundaries on exact multiples
+    lean = dataclasses.replace(
+        base, leapfrogs_per_program=2, thin_draws=8, num_samples=16
+    )
+    _, s_lean, i_lean = chees_sample(U, state, lean)
+    assert s_lean.shape == (2, 8, 4)
+    assert i_lean["energy"].shape == (16, 8)
+    np.testing.assert_array_equal(i_lean["kept_idx"], [7, 15])
