@@ -33,6 +33,12 @@ def _add_flow_args(p):
         "production shape — PERFORMANCE.md)",
     )
     p.add_argument(
+        "--scan-unroll", type=int, default=1,
+        help="unroll factor for the MAF layer scan: static layer indices "
+        "let XLA fuse the backward's per-layer dW updates and carry "
+        "copies (PERF_PROFILE.json); set to --layers for full unroll",
+    )
+    p.add_argument(
         "--bounds-low", type=float, nargs="+", default=None,
         help="lower box bounds per dim (logit-box bounded support, "
         "e.g. the unsupervised GW170817 fit train_mle_unsupervised.py)",
@@ -79,6 +85,7 @@ def _build_flow(args, theta, lam):
         seed=args.seed,
         compute_dtype=None if cd in (None, "float32") else cd,
         use_pallas=getattr(args, "use_pallas", False),
+        scan_unroll=getattr(args, "scan_unroll", 1),
     ).build()
 
 

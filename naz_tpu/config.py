@@ -47,6 +47,9 @@ class FlowSpec:
     # fused Pallas density kernels for MAF (auto stack/per-layer by VMEM
     # fit; 1.5x over XLA f32 at the 18x[512]^5 shape — PERFORMANCE.md)
     use_pallas: bool = False
+    # unroll factor for the MAF layer scan (static layer indices let XLA
+    # fuse the backward's per-layer dW updates and carry copies)
+    scan_unroll: int = 1
 
     def build(self, embedding=None) -> Flow:
         import jax.numpy as jnp
@@ -68,6 +71,7 @@ class FlowSpec:
                 dropout_rate=self.dropout_rate,
                 compute_dtype=self.compute_dtype,
                 use_pallas=self.use_pallas,
+                scan_unroll=self.scan_unroll,
                 **common,
             )
         if self.flow_type == "nsa":

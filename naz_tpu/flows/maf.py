@@ -357,7 +357,8 @@ class MaskedAutoregressiveFlow:
             return (z, ld + d), None
 
         (z, ld), _ = lax.scan(
-            body, (x2, jnp.zeros(x2.shape[0], x2.dtype)), (ws, bs)
+            body, (x2, jnp.zeros(x2.shape[0], x2.dtype)), (ws, bs),
+            unroll=min(self.scan_unroll, self.n_layers),
         )
         return z.reshape(batch_shape + (self.dim,)), ld.reshape(batch_shape)
 
@@ -443,7 +444,7 @@ class MaskedAutoregressiveFlow:
 
             (x, ld), _ = lax.scan(
                 body, (z2, jnp.zeros(z2.shape[0], z2.dtype)), (ws, bs),
-                reverse=True,
+                reverse=True, unroll=min(self.scan_unroll, self.n_layers),
             )
         return x.reshape(batch_shape + (self.dim,)), ld.reshape(batch_shape)
 

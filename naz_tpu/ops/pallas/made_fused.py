@@ -53,17 +53,44 @@ def _make_dot(bf16: bool):
     )
 
 
+def _cast(a, bf16):
+    return a.astype(jnp.bfloat16) if bf16 else a
+
+
+def _dot_nt(a, w, bf16):
+    """(T, in) x (out, in) -> (T, out): contract the trailing dims.
+
+    The weights are stored out-major; contracting with dot_general instead
+    of materializing ``w.T`` keeps the pass MXU-native — Mosaic otherwise
+    inserts a relayout of the (out, in) block on every use (measurable at
+    the 512-wide 4-param shape where this kernel is the production path).
+    """
+    return jax.lax.dot_general(
+        _cast(a, bf16), _cast(w, bf16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_tn(g, h, bf16):
+    """(T, out), (T, in) -> (out, in): contract the batch dim — the
+    weight-grad epilogue without the explicit ``g.T`` transpose."""
+    return jax.lax.dot_general(
+        _cast(g, bf16), _cast(h, bf16),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _forward_body(x_full_ref, *refs, dim, n_layers, clip_lo, clip_hi, bf16):
     # refs: w0..w{L-1}, b0..b{L-1}, z_ref, ld_ref
     ws = refs[:n_layers]
     bs = refs[n_layers : 2 * n_layers]
     z_ref, ld_ref = refs[2 * n_layers], refs[2 * n_layers + 1]
-    _dot = _make_dot(bf16)
-
     h = x_full_ref[:]
     for k in range(n_layers - 1):
-        h = jnp.tanh(_dot(h, ws[k][:].T) + bs[k][:])
-    out = _dot(h, ws[-1][:].T) + bs[-1][:]
+        h = jnp.tanh(_dot_nt(h, ws[k][:], bf16) + bs[k][:])
+    out = _dot_nt(h, ws[-1][:], bf16) + bs[-1][:]
 
     x = x_full_ref[:, -dim:]
     mu = out[:, :dim]
@@ -89,9 +116,9 @@ def _backward_body(
     hs = [x_full_ref[:]]
     h = hs[0]
     for k in range(n_layers - 1):
-        h = jnp.tanh(_dot(h, ws[k][:].T) + bs[k][:])
+        h = jnp.tanh(_dot_nt(h, ws[k][:], bf16) + bs[k][:])
         hs.append(h)
-    out = _dot(h, ws[-1][:].T) + bs[-1][:]
+    out = _dot_nt(h, ws[-1][:], bf16) + bs[-1][:]
 
     x = x_full_ref[:, -dim:]
     mu = out[:, :dim]
@@ -114,14 +141,14 @@ def _backward_body(
         for r in (*dws, *dbs):
             r[:] = jnp.zeros_like(r)
 
-    # output layer grads
-    dws[-1][:] += _dot(g_out.T, hs[-1])
+    # output layer grads (TN contraction: no g.T materialization)
+    dws[-1][:] += _dot_tn(g_out, hs[-1], bf16)
     dbs[-1][:] += jnp.sum(g_out, axis=0, keepdims=True)
     g_h = _dot(g_out, ws[-1][:])
 
     for k in range(n_layers - 2, -1, -1):
         g_pre = g_h * (1.0 - hs[k + 1] * hs[k + 1])
-        dws[k][:] += _dot(g_pre.T, hs[k])
+        dws[k][:] += _dot_tn(g_pre, hs[k], bf16)
         dbs[k][:] += jnp.sum(g_pre, axis=0, keepdims=True)
         g_h = _dot(g_pre, ws[k][:])
 

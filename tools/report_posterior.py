@@ -6,7 +6,11 @@ summary: per-chain energy-trace statistics, split-R-hat / ESS over the
 diagnostic projections, acceptance, leapfrog counts, grad-eval totals, and
 wall-clock (from file mtimes).
 
-Usage: python tools/report_posterior.py CKPT_DIR [OUT_NPZ]
+Usage: python tools/report_posterior.py CKPT_DIR [OUT_NPZ] [--tail N]
+
+``--tail N`` restricts the R-hat/ESS diagnostics to the last N draws per
+chain — the standard burn-in discard: during a long relaxation the full
+trace's R-hat measures the transient, not the stationary mixing.
 """
 
 import json
@@ -18,7 +22,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(ckpt_dir, out_npz=None):
+def main(ckpt_dir, out_npz=None, *extra):
+    tail = None
+    args = [out_npz, *extra]
+    if "--tail" in args:
+        i = args.index("--tail")
+        tail = int(args[i + 1])
+        del args[i : i + 2]
+    out_npz = args[0] if args else None
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -62,13 +73,17 @@ def main(ckpt_dir, out_npz=None):
             print(f"  chain {c}: start {t[0]:.2f} end {t[-1]:.2f} "
                   f"min {t.min():.2f} max {t.max():.2f} sd {t.std():.2f}")
         diag = np.concatenate([e[..., None], q8c], axis=-1)
+        if tail is not None and tail < diag.shape[0]:
+            diag = diag[-tail:]
+            print(f"\n[diagnostics over the last {tail} draws/chain]")
         rh = np.asarray(split_rhat(diag))
         ess = np.asarray(effective_sample_size(diag))
         print(f"\nsplit-Rhat (energy + first-8 coords): "
               f"{np.round(rh, 4).tolist()}")
         print(f"ESS: {np.round(ess, 1).tolist()}")
         print(f"Rhat max {rh.max():.4f}  ESS min {ess.min():.1f} "
-              f"total draws {e.shape[0] * e.shape[1]}")
+              f"total draws {diag.shape[0] * e.shape[1]}"
+              + (" (tail)" if tail else ""))
 
     if out_npz and os.path.exists(out_npz):
         with np.load(out_npz) as z:
