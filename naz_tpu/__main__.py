@@ -250,6 +250,14 @@ def main(argv=None):
         "probes at the MLE (chees only) — shortens warmup; adaptation "
         "still refines it",
     )
+    hp.add_argument(
+        "--warm-start", default=None, metavar="CKPT",
+        help="chees only: seed eps/T/mass from a previous run's checkpoint "
+        "(dir or chees_state.npz) — e.g. the adjacent sigma0 in a prior-"
+        "scale sweep. Warmup still probes and window-adapts for THIS "
+        "posterior; only the cold identity-mass crawl is skipped. Ignored "
+        "when resuming an existing --chckpt",
+    )
     hp.add_argument("--max-depth", type=int, default=10, help="NUTS tree depth cap")
     hp.add_argument(
         "--trace", default=None,
@@ -841,8 +849,11 @@ def main(argv=None):
                 lean=True,
                 curvature_init_mass=args.curvature_init_mass,
                 out_thin=args.out_thin,
+                warm_start=args.warm_start,
             )
         else:
+            if args.warm_start:
+                raise SystemExit("--warm-start requires --kernel chees")
             from naz_tpu.bayes import fit_nuts
             from naz_tpu.mcmc.run import MCMCRunConfig
 

@@ -9,6 +9,7 @@ with chains vmapped on-device and optional elastic checkpoint/resume.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import numpy as np
@@ -262,6 +263,7 @@ def fit_chees(
     lean: bool = False,
     curvature_init_mass: bool = False,
     out_thin: int = 1,
+    warm_start: Optional[str] = None,
 ) -> dict:
     """Sample the weight posterior with ChEES-HMC (cross-chain adaptive
     trajectory length; ``naz_tpu.mcmc.chees``). Same return layout as
@@ -273,8 +275,17 @@ def fit_chees(
     ``curvature_init_mass``: initialize the diagonal mass from Hutchinson
     curvature probes at the MLE (``BayesianFlow.curvature_inv_mass``)
     instead of the identity — cuts the warmup spent discovering the MLE's
-    local scales (warmup still adapts)."""
-    from naz_tpu.mcmc.chees import ChEESConfig, run_chees
+    local scales (warmup still adapts).
+
+    ``warm_start``: path to a previous run's ChEES checkpoint (dir or
+    ``chees_state.npz``); seeds eps/T/mass from its adapted state
+    (``mcmc.chees.load_adaptation``) instead of identity-mass cold init.
+    The warmup still probes and window-adapts, so the new posterior (e.g.
+    an adjacent sigma0 in a prior-scale sweep) gets its own adaptation —
+    just without re-paying the cold crawl. Takes precedence over
+    ``curvature_init_mass``; ignored when resuming an existing
+    checkpoint (the checkpoint's own state wins)."""
+    from naz_tpu.mcmc.chees import ChEESConfig, load_adaptation, run_chees
 
     from naz_tpu.mcmc.chees import run_chees_checkpointed
 
@@ -283,7 +294,19 @@ def fit_chees(
         jax.random.PRNGKey(cfg.seed + 1), cfg.num_chains, jitter=init_jitter
     )
     init_inv_mass = None
-    if curvature_init_mass and not _has_checkpoint(checkpoint_dir, "chees_state.npz"):
+    if warm_start and not _has_checkpoint(checkpoint_dir, "chees_state.npz"):
+        ws_mass, ws_eps, ws_T = load_adaptation(warm_start)
+        if ws_mass.shape != (q0.shape[-1],):
+            raise ValueError(
+                f"warm-start mass has dim {ws_mass.shape} but this model "
+                f"has {q0.shape[-1]} weights: {warm_start} is from a "
+                "different architecture"
+            )
+        init_inv_mass = jnp.asarray(ws_mass, q0.dtype)
+        cfg = dataclasses.replace(
+            cfg, init_step_size=ws_eps, init_traj_len=ws_T
+        )
+    elif curvature_init_mass and not _has_checkpoint(checkpoint_dir, "chees_state.npz"):
         init_inv_mass = bayes_flow.curvature_inv_mass(
             jax.random.PRNGKey(cfg.seed + 2)
         )

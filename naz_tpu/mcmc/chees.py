@@ -191,6 +191,34 @@ def _check_chain_count(num_chains: int) -> None:
         )
 
 
+def load_adaptation(path: str) -> tuple[np.ndarray, float, float]:
+    """Read ``(inv_mass, step_size, traj_len)`` from a ChEES checkpoint.
+
+    ``path`` is a checkpoint dir (containing ``chees_state.npz``) or the
+    state file itself. Leaves are read by :class:`ChEESState` field index
+    (the ``save_pytree`` order), NOT through a template pytree, so the
+    source run's chain count does not have to match the new run's.
+
+    This is the warm-start path for prior-scale sweeps (the reference's
+    sigma0 calibration study, ``plot_callibration.py:22-36``): identity-
+    mass warmup spends its first ~100 iterations crawling at eps ~ 5e-4
+    rediscovering the MLE's local scales on every run (measured ~15 min
+    of each production warmup, PERFORMANCE.md); adjacent sigma0 posteriors
+    share those scales to first order, so seeding eps/T/mass from the
+    previous run's adapted state removes the crawl while the windowed
+    warmup still re-adapts everything for the new posterior."""
+    import os
+
+    if os.path.isdir(path):
+        path = os.path.join(path, "chees_state.npz")
+    fields = list(ChEESState._fields)
+    with np.load(path) as z:
+        inv_mass = np.asarray(z[f"leaf_{fields.index('inv_mass')}"])
+        step_size = float(z[f"leaf_{fields.index('step_size')}"])
+        traj_len = float(z[f"leaf_{fields.index('traj_len')}"])
+    return inv_mass, step_size, traj_len
+
+
 def chees_init(
     potential: Callable,
     q0: jnp.ndarray,

@@ -503,3 +503,81 @@ def test_chees_chunked_trajectory_matches_monolithic():
     assert s_lean.shape == (2, 8, 4)
     assert i_lean["energy"].shape == (16, 8)
     np.testing.assert_array_equal(i_lean["kept_idx"], [7, 15])
+
+
+def test_load_adaptation_warm_start(tmp_path):
+    """load_adaptation reads the adapted (inv_mass, eps, T) of a finished
+    run independent of chain count, and warm-starting a new run from it
+    seeds the init state with those values (the sigma0-sweep path)."""
+    from naz_tpu.mcmc import run_chees_checkpointed
+    from naz_tpu.mcmc.chees import load_adaptation
+
+    U = _gaussian_potential([1.0, 2.0, 0.5])
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (4, 3))
+    cfg = ChEESConfig(num_warmup=120, num_samples=20, num_chains=4, seed=5)
+    d = str(tmp_path / "src")
+    post = run_chees_checkpointed(U, q0, cfg, d, nbatch=20)
+
+    inv_mass, eps, T = load_adaptation(d)
+    assert inv_mass.shape == (3,)
+    np.testing.assert_allclose(inv_mass, post["inv_mass"])
+    # final state's eps/T (post-sampling state == adapted values)
+    assert eps == pytest.approx(float(post["step_size"]))
+    assert T == pytest.approx(float(post["traj_len"]))
+    # the adapted mass should reflect the target's anisotropy
+    assert inv_mass[1] > inv_mass[2]
+
+    # seeding a DIFFERENT chain count from it must work (leaves are read
+    # by field index, not through a chain-shaped template)
+    q0b = jax.random.normal(jax.random.PRNGKey(1), (6, 3))
+    state = chees_init(
+        U,
+        q0b,
+        ChEESConfig(
+            num_chains=6, seed=6, init_step_size=eps, init_traj_len=T
+        ),
+        init_inv_mass=inv_mass,
+    )
+    np.testing.assert_allclose(np.asarray(state.inv_mass), inv_mass)
+    assert float(state.step_size) == pytest.approx(eps)
+    assert float(state.traj_len) == pytest.approx(T)
+
+
+def test_fit_chees_warm_start(tmp_path):
+    """fit_chees(warm_start=...) end-to-end: a second sigma0 run seeded
+    from the first one's checkpoint samples a healthy posterior, and a
+    warm start from a different architecture is rejected."""
+    from naz_tpu.bayes import BayesianFlow, fit_chees, make_flow_loglik
+    from naz_tpu.flows import maf_flow
+
+    key = jax.random.PRNGKey(0)
+    theta = jax.random.normal(key, (256, 2)) * jnp.array([1.0, 0.5])
+    flow = maf_flow(2, n_layers=2, hidden_dims=(16,), seed=0)
+    params = flow.init_params(jax.random.PRNGKey(1))
+    lp = make_flow_loglik(flow, theta)
+
+    cfg = ChEESConfig(
+        num_warmup=80, num_samples=30, num_chains=4, seed=7, max_leapfrogs=64
+    )
+    d1 = str(tmp_path / "s1")
+    bf1 = BayesianFlow(lp, params, scale_max=0.05)
+    fit_chees(bf1, cfg, checkpoint_dir=d1, nbatch=30)
+
+    d2 = str(tmp_path / "s2")
+    bf2 = BayesianFlow(lp, params, scale_max=0.1)
+    post = fit_chees(
+        bf2, cfg, checkpoint_dir=d2, nbatch=30, warm_start=d1
+    )
+    assert np.isfinite(post["log_likelihood"]).all()
+    assert post["params_flat"].shape[0] == 30
+    assert post["diagnostics"]["mean_accept_prob"] > 0.3
+
+    # architecture mismatch must fail loudly, not silently mis-seed
+    flow3 = maf_flow(2, n_layers=2, hidden_dims=(24,), seed=0)
+    params3 = flow3.init_params(jax.random.PRNGKey(2))
+    bf3 = BayesianFlow(make_flow_loglik(flow3, theta), params3, scale_max=0.1)
+    with pytest.raises(ValueError, match="different architecture"):
+        fit_chees(
+            bf3, cfg, checkpoint_dir=str(tmp_path / "s3"), nbatch=30,
+            warm_start=d1,
+        )
