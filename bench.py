@@ -286,25 +286,30 @@ def main():
     tf_hi = timed(ITERS_HI, fwd_only=True)
     per_fwd = (tf_hi - tf_lo) / (ITERS_HI - ITERS_LO)
 
+    headline = json.dumps(
+        {
+            "metric": "leapfrog_grad_evals_per_s_per_chip",
+            "value": round(evals_per_s, 2),
+            "unit": "grad-evals/s (16x[150]^3 MAF, N=190k, bf16-compute)",
+            "vs_baseline": 1.0,
+            "effective_tflops": round(FLOPS_PER_GRAD * evals_per_s / 1e12, 1),
+            "fwd_ms": round(per_fwd * 1e3, 2),
+            "pct_of_4xfwd_bound": round(100.0 * 4 * per_fwd / per_eval, 1),
+        }
+    )
+    # the headline is complete at this point; land it BEFORE the
+    # long-running ESS phase so an external timeout mid-ESS cannot leave
+    # the bench with no JSON at all, and repeat it LAST (the driver
+    # parses the final line as the headline metric)
+    print(headline, flush=True)
+
     try:
         ess_line = bench_ess()
         print(json.dumps(ess_line))
     except Exception as e:  # ESS line is best-effort; headline must land
         print(f"ess bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "leapfrog_grad_evals_per_s_per_chip",
-                "value": round(evals_per_s, 2),
-                "unit": "grad-evals/s (16x[150]^3 MAF, N=190k, bf16-compute)",
-                "vs_baseline": 1.0,
-                "effective_tflops": round(FLOPS_PER_GRAD * evals_per_s / 1e12, 1),
-                "fwd_ms": round(per_fwd * 1e3, 2),
-                "pct_of_4xfwd_bound": round(100.0 * 4 * per_fwd / per_eval, 1),
-            }
-        )
-    )
+    print(headline)
 
 
 if __name__ == "__main__":
