@@ -258,6 +258,14 @@ def main(argv=None):
         "posterior; only the cold identity-mass crawl is skipped. Ignored "
         "when resuming an existing --chckpt",
     )
+    hp.add_argument(
+        "--warm-start-sigma", type=float, default=None, metavar="S_PREV",
+        help="the --sigma of the run --warm-start points at: rescales the "
+        "warm-started mass by (S_PREV/sigma)^2 and the step size by "
+        "S_PREV/sigma (standardized-space likelihood curvature scales as "
+        "sigma0^2, so an unscaled cross-sigma warm start re-pays most of "
+        "the cold crawl)",
+    )
     hp.add_argument("--max-depth", type=int, default=10, help="NUTS tree depth cap")
     hp.add_argument(
         "--trace", default=None,
@@ -850,6 +858,10 @@ def main(argv=None):
                 curvature_init_mass=args.curvature_init_mass,
                 out_thin=args.out_thin,
                 warm_start=args.warm_start,
+                warm_start_scale=(
+                    (args.warm_start_sigma / args.sigma) ** 2
+                    if args.warm_start_sigma else 1.0
+                ),
             )
         else:
             if args.warm_start:

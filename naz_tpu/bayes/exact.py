@@ -264,6 +264,7 @@ def fit_chees(
     curvature_init_mass: bool = False,
     out_thin: int = 1,
     warm_start: Optional[str] = None,
+    warm_start_scale: float = 1.0,
 ) -> dict:
     """Sample the weight posterior with ChEES-HMC (cross-chain adaptive
     trajectory length; ``naz_tpu.mcmc.chees``). Same return layout as
@@ -284,7 +285,20 @@ def fit_chees(
     an adjacent sigma0 in a prior-scale sweep) gets its own adaptation —
     just without re-paying the cold crawl. Takes precedence over
     ``curvature_init_mass``; ignored when resuming an existing
-    checkpoint (the checkpoint's own state wins)."""
+    checkpoint (the checkpoint's own state wins).
+
+    ``warm_start_scale``: multiplier applied to the loaded inverse mass
+    (per-coordinate posterior-variance estimate) and to the step size.
+    Across a prior-scale change the standardized-space likelihood
+    curvature scales as sigma0^2 (``params = mle*(1+scale*std)``: a std
+    displacement moves params sigma0-proportionally), so
+    likelihood-dominated coordinate variances scale as 1/sigma0^2 — pass
+    ``(sigma_prev/sigma_new)**2``. Measured motivation: an UNSCALED
+    sigma 0.01 -> 0.03 warm start on the production 2-D posterior still
+    collapsed the probe to eps ~ 2e-4 (the 9x mass mismatch dominates),
+    re-paying most of the cold crawl. Prior-dominated coordinates get an
+    over-heavy mass from the rescale, which is the safe direction (probe
+    + windows recover it)."""
     from naz_tpu.mcmc.chees import ChEESConfig, load_adaptation, run_chees
 
     from naz_tpu.mcmc.chees import run_chees_checkpointed
@@ -302,9 +316,12 @@ def fit_chees(
                 f"has {q0.shape[-1]} weights: {warm_start} is from a "
                 "different architecture"
             )
-        init_inv_mass = jnp.asarray(ws_mass, q0.dtype)
+        init_inv_mass = jnp.asarray(ws_mass, q0.dtype) * warm_start_scale
+        # eps scales with the typical coordinate width ~ sqrt(variance)
         cfg = dataclasses.replace(
-            cfg, init_step_size=ws_eps, init_traj_len=ws_T
+            cfg,
+            init_step_size=ws_eps * float(np.sqrt(warm_start_scale)),
+            init_traj_len=ws_T,
         )
     elif curvature_init_mass and not _has_checkpoint(checkpoint_dir, "chees_state.npz"):
         init_inv_mass = bayes_flow.curvature_inv_mass(

@@ -581,3 +581,47 @@ def test_fit_chees_warm_start(tmp_path):
             bf3, cfg, checkpoint_dir=str(tmp_path / "s3"), nbatch=30,
             warm_start=d1,
         )
+
+
+def test_fit_chees_warm_start_scale(tmp_path, monkeypatch):
+    """warm_start_scale rescales the seeded mass by (sigma_prev/sigma_new)^2
+    and the seeded step size by its square root (cross-sigma sweep chaining)."""
+    from naz_tpu.bayes import BayesianFlow, fit_chees, make_flow_loglik
+    from naz_tpu.flows import maf_flow
+    from naz_tpu.mcmc.chees import load_adaptation
+
+    key = jax.random.PRNGKey(0)
+    theta = jax.random.normal(key, (128, 2))
+    flow = maf_flow(2, n_layers=2, hidden_dims=(8,), seed=0)
+    params = flow.init_params(jax.random.PRNGKey(1))
+    lp = make_flow_loglik(flow, theta)
+
+    cfg = ChEESConfig(
+        num_warmup=40, num_samples=10, num_chains=4, seed=9, max_leapfrogs=32
+    )
+    d1 = str(tmp_path / "a")
+    fit_chees(BayesianFlow(lp, params, scale_max=0.05), cfg,
+              checkpoint_dir=d1, nbatch=10)
+    inv_mass, eps, _ = load_adaptation(d1)
+
+    import naz_tpu.mcmc.chees as chees_mod
+
+    seen = {}
+    real_init = chees_mod.run_chees_checkpointed
+
+    def spy(potential, q0, cfg_, ckpt, **kw):
+        seen["inv_mass"] = np.asarray(kw["init_inv_mass"])
+        seen["eps"] = float(cfg_.init_step_size)
+        return real_init(potential, q0, cfg_, ckpt, **kw)
+
+    monkeypatch.setattr(
+        "naz_tpu.mcmc.chees.run_chees_checkpointed", spy
+    )
+    scale = (0.05 / 0.15) ** 2
+    fit_chees(
+        BayesianFlow(lp, params, scale_max=0.15), cfg,
+        checkpoint_dir=str(tmp_path / "b"), nbatch=10,
+        warm_start=d1, warm_start_scale=scale,
+    )
+    np.testing.assert_allclose(seen["inv_mass"], inv_mass * scale, rtol=1e-6)
+    assert seen["eps"] == pytest.approx(eps * scale**0.5, rel=1e-6)
