@@ -25,16 +25,17 @@ SIGMAS=${SIGMAS:-"0.01 0.03 0.1 0.3"}
 PREV=""
 for S in $SIGMAS; do
   if [ ! -f __run_sweep__/post_${S}.npz ]; then
-    WS=""
+    WS=""; WSS=""
     if [ -n "$PREV" ] && [ -f __run_sweep__/ckpt_${PREV}/chees_state.npz ]; then
       WS="--warm-start __run_sweep__/ckpt_${PREV}"
+      WSS="--warm-start-sigma ${PREV}"
     fi
     python -u -m naz_tpu hmc \
       --data __run_2d__/synth_2d.h5 \
       --mle-params __run_2d__/mle_2d.npz \
       --layers 16 --hidden 150 150 150 --compute-dtype bfloat16 \
       --kernel chees --num-warmup $WARMUP --num-samples $DRAWS --num-chains 4 \
-      --chain-exec map --sigma $S $WS \
+      --chain-exec map --sigma $S $WS $WSS \
       --min-leapfrogs 4 --max-leapfrogs 96 --steps-per-program 4 \
       --chckpt __run_sweep__/ckpt_${S} --nbatch 200 \
       --thin-draws 8 --out-thin 1 --out __run_sweep__/post_${S}.npz \
