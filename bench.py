@@ -26,7 +26,12 @@ PERFORMANCE.md; >100% means XLA's fusion beats the naive model, i.e. the
 path is at the achievable bandwidth ceiling). A second JSON line for the
 OTHER half of the BASELINE.json metric, post-warmup effective samples/s
 at the same production config (ChEES kernel, bf16 gradients + exact f32
-accept energies), is printed FIRST.
+accept energies), is printed between a provisional early copy of the
+headline and the canonical final headline line. The ESS phase is
+budget-aware (BENCH_ESS_BUDGET_S, default 4200 s): it resumes from the
+committed warmup checkpoint ``bench_assets/ess_warmup_state.npz`` when
+present (skipping the ~950 s warmup) and refuses convergence extensions
+that would overrun the budget.
 
 The reference publishes no numbers (BASELINE.json "published": {}), so
 vs_baseline is 1.0 by convention.
@@ -142,7 +147,9 @@ def timed(n_iters, fwd_only=False, remat=True):
     return best
 
 
-def bench_ess(num_warmup=1000, num_samples=1000, num_chains=4):
+def bench_ess(num_warmup=1000, num_samples=1000, num_chains=4,
+              warm_ckpt="bench_assets/ess_warmup_state.npz",
+              budget_s=None):
     """Post-warmup ESS_min/s at the production config: ChEES with bf16
     leapfrog gradients and exact f32 accept energies (the production
     recommendation). Timing from the sampling-phase chunk wall clocks,
@@ -195,12 +202,39 @@ def bench_ess(num_warmup=1000, num_samples=1000, num_chains=4):
         # not the remote tunnel's device->host bandwidth
         thin_draws=25,
     )
+    import os
+
+    from naz_tpu.io.checkpoint import load_pytree, save_pytree
+
+    if budget_s is None:
+        budget_s = float(os.environ.get("BENCH_ESS_BUDGET_S", "4200"))
+    t_bench = time.time()
     q0 = bf32.init_positions(jax.random.PRNGKey(4), num_chains, jitter=0.01)
     t0 = time.time()
     state = chees_init(bf32.potential_centered, q0, cfg, bf16.potential_centered)
-    state, winfo = chees_warmup(bf32.potential_centered, state, cfg, bf16.potential_centered)
-    print(f"ess-bench warmup: {time.time()-t0:.0f}s, "
-          f"eps={winfo['step_size']:.3g} T={winfo['traj_len']:.3g}", flush=True)
+    if os.path.exists(warm_ckpt):
+        # budget-aware path (VERDICT r4): the warmup for this EXACT config
+        # (seeded data, seeded init, fixed flow) is deterministic given the
+        # committed asset; resuming from it spends the driver's budget on
+        # the thing being measured — post-warmup sampling — instead of
+        # re-paying the ~950 s warmup every round. The asset is produced by
+        # the else-branch below (one real on-chip warmup) and committed.
+        state = load_pytree(warm_ckpt, state)
+        print(
+            f"ess-bench: warm-started from {warm_ckpt} "
+            f"(eps={float(state.step_size):.3g} "
+            f"T={float(state.traj_len):.3g}); warmup skipped", flush=True,
+        )
+    else:
+        state, winfo = chees_warmup(
+            bf32.potential_centered, state, cfg, bf16.potential_centered
+        )
+        print(f"ess-bench warmup: {time.time()-t0:.0f}s, "
+              f"eps={winfo['step_size']:.3g} T={winfo['traj_len']:.3g}",
+              flush=True)
+        os.makedirs(os.path.dirname(warm_ckpt) or ".", exist_ok=True)
+        save_pytree(warm_ckpt, state)
+        print(f"ess-bench: saved warmup state to {warm_ckpt}", flush=True)
     import dataclasses
 
     timings = []
@@ -222,6 +256,20 @@ def bench_ess(num_warmup=1000, num_samples=1000, num_chains=4):
     # keep their state) before refusing
     extensions = 0
     while float(rhat.max()) > 1.01 and extensions < 2:
+        # budget gate: an extension that would blow the driver's wall
+        # budget (BENCH_r04 died at rc=124 exactly this way) is refused
+        # up front — better a loud refusal than a silent timeout with no
+        # ESS line at all
+        wall_so_far = sum(t for _, t in timings)
+        draws_so_far = sum(n for n, _ in timings)
+        est_ext = 500 * wall_so_far / max(1, draws_so_far)
+        if time.time() - t_bench + est_ext > budget_s:
+            print(
+                f"ess-bench: extension (~{est_ext:.0f}s) would exceed the "
+                f"{budget_s:.0f}s budget ({time.time()-t_bench:.0f}s "
+                "elapsed); stopping extensions", flush=True,
+            )
+            break
         extensions += 1
         print(
             f"ess-bench split-Rhat {float(rhat.max()):.4f} > 1.01: "
@@ -286,22 +334,22 @@ def main():
     tf_hi = timed(ITERS_HI, fwd_only=True)
     per_fwd = (tf_hi - tf_lo) / (ITERS_HI - ITERS_LO)
 
-    headline = json.dumps(
-        {
-            "metric": "leapfrog_grad_evals_per_s_per_chip",
-            "value": round(evals_per_s, 2),
-            "unit": "grad-evals/s (16x[150]^3 MAF, N=190k, bf16-compute)",
-            "vs_baseline": 1.0,
-            "effective_tflops": round(FLOPS_PER_GRAD * evals_per_s / 1e12, 1),
-            "fwd_ms": round(per_fwd * 1e3, 2),
-            "pct_of_4xfwd_bound": round(100.0 * 4 * per_fwd / per_eval, 1),
-        }
-    )
+    headline_dict = {
+        "metric": "leapfrog_grad_evals_per_s_per_chip",
+        "value": round(evals_per_s, 2),
+        "unit": "grad-evals/s (16x[150]^3 MAF, N=190k, bf16-compute)",
+        "vs_baseline": 1.0,
+        "effective_tflops": round(FLOPS_PER_GRAD * evals_per_s / 1e12, 1),
+        "fwd_ms": round(per_fwd * 1e3, 2),
+        "pct_of_4xfwd_bound": round(100.0 * 4 * per_fwd / per_eval, 1),
+    }
+    headline = json.dumps(headline_dict)
     # the headline is complete at this point; land it BEFORE the
     # long-running ESS phase so an external timeout mid-ESS cannot leave
     # the bench with no JSON at all, and repeat it LAST (the driver
-    # parses the final line as the headline metric)
-    print(headline, flush=True)
+    # parses the final line as the headline metric). The early copy is
+    # tagged provisional so line-aggregating consumers don't double-count.
+    print(json.dumps({**headline_dict, "provisional": True}), flush=True)
 
     try:
         ess_line = bench_ess()

@@ -808,6 +808,17 @@ def main(argv=None):
     if args.cmd == "hmc":
         import contextlib
 
+        # --warm-start-sigma exists only to rescale a --warm-start mass; a
+        # silently-ignored flag re-pays the cold crawl it exists to avoid
+        if args.warm_start_sigma is not None:
+            if not args.warm_start:
+                raise SystemExit(
+                    "--warm-start-sigma requires --warm-start (it rescales "
+                    "the warm-started mass; alone it does nothing)"
+                )
+            if args.warm_start_sigma <= 0:
+                raise SystemExit("--warm-start-sigma must be > 0")
+
         _stack = contextlib.ExitStack()
         if args.trace:
             from naz_tpu.utils import trace as _trace
@@ -860,7 +871,7 @@ def main(argv=None):
                 warm_start=args.warm_start,
                 warm_start_scale=(
                     (args.warm_start_sigma / args.sigma) ** 2
-                    if args.warm_start_sigma else 1.0
+                    if args.warm_start_sigma is not None else 1.0
                 ),
             )
         else:

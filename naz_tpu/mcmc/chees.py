@@ -213,9 +213,29 @@ def load_adaptation(path: str) -> tuple[np.ndarray, float, float]:
         path = os.path.join(path, "chees_state.npz")
     fields = list(ChEESState._fields)
     with np.load(path) as z:
+        # positional read: guard against a checkpoint written by a
+        # different ChEESState layout (field added/reordered) silently
+        # mis-assigning leaves — the npz stores no names, so the only
+        # cheap invariants are the leaf count and the scalar-ness of the
+        # adaptation leaves
+        n_leaves = sum(1 for k in z.files if k.startswith("leaf_"))
+        if n_leaves != len(fields):
+            raise ValueError(
+                f"{path}: {n_leaves} leaves but ChEESState has "
+                f"{len(fields)} fields — checkpoint written by a "
+                "different state layout; refusing positional read"
+            )
+        step_leaf = z[f"leaf_{fields.index('step_size')}"]
+        traj_leaf = z[f"leaf_{fields.index('traj_len')}"]
+        if step_leaf.ndim != 0 or traj_leaf.ndim != 0:
+            raise ValueError(
+                f"{path}: step_size/traj_len leaves are not scalars "
+                f"(shapes {step_leaf.shape}/{traj_leaf.shape}) — "
+                "checkpoint layout mismatch"
+            )
         inv_mass = np.asarray(z[f"leaf_{fields.index('inv_mass')}"])
-        step_size = float(z[f"leaf_{fields.index('step_size')}"])
-        traj_len = float(z[f"leaf_{fields.index('traj_len')}"])
+        step_size = float(step_leaf)
+        traj_len = float(traj_leaf)
     return inv_mass, step_size, traj_len
 
 

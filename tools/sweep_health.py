@@ -16,22 +16,28 @@ import sys
 
 def main(d):
     rows = []
+    # continuation logs (hmc_0.1_ext.log, ...) belong to the same sigma;
+    # the row must come from the LATEST diagnostics across all of a
+    # sigma's logs (by mtime), not silently from the base log
+    by_sigma = {}
     for f in sorted(glob.glob(os.path.join(d, "hmc_*.log"))):
-        m = re.match(r"hmc_([0-9.]+)\.log", os.path.basename(f))
+        m = re.match(r"hmc_([0-9.]+?)(_\w+)?\.log", os.path.basename(f))
         if not m:
             continue
-        sigma = float(m.group(1))
+        by_sigma.setdefault(float(m.group(1)), []).append(f)
+    for sigma, files in by_sigma.items():
         diag = None
-        with open(f) as fh:
-            for line in fh:
-                line = line.strip()
-                if line.startswith("{") and "split_rhat" in line:
-                    try:
-                        diag = json.loads(line)
-                    except json.JSONDecodeError:
-                        pass
+        for f in sorted(files, key=os.path.getmtime):
+            with open(f) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line.startswith("{") and "split_rhat" in line:
+                        try:
+                            diag = json.loads(line)
+                        except json.JSONDecodeError:
+                            pass
         if diag is None:
-            print(f"(no diagnostics line in {f})", file=sys.stderr)
+            print(f"(no diagnostics line in {files})", file=sys.stderr)
             continue
         rh = diag.get("split_rhat") or []
         ess = diag.get("ess") or []
