@@ -22,16 +22,54 @@ def _gaussian_ensemble(key, n_draws, n_samples, d=2, jitter=0.0):
 
 
 def test_calibrated_ensemble_covers_nominally():
-    """PPD draws from the true data distribution (with sampling noise
-    matching the posterior spread) should give coverage ~ nominal."""
-    key = jax.random.PRNGKey(0)
-    truth = jax.random.normal(key, (40_000, 2))
-    ppds = _gaussian_ensemble(jax.random.PRNGKey(1), 80, 8000, jitter=0.02)
-    cs = np.linspace(0.1, 0.9, 5)
-    cov = np.asarray(calibrate(ppds, truth, nq=25, cs=cs, fthin=4))
-    # roughly monotone and bracketing the diagonal
-    assert cov[-1] > cov[0]
-    assert np.all(cov >= cs - 0.35) and np.all(cov <= cs + 0.35), (cs, cov)
+    """Nominal recovery, pinned tight (VERDICT r4 #3): when the truth is
+    EXCHANGEABLE with the PPD draws (one more draw from the same process,
+    same sample count — the exactly-well-specified case), empirical
+    coverage must sit within a few points of nominal. Tolerance 0.05 was
+    set from an 8-truth-realization study (max |cov - c| = 0.030 for eqt
+    at nq in {25,100}); a harness reporting intervals at half their true
+    width would read ~0.3+ low at c=0.9 and fail loudly.
+
+    Equal-tail intervals: the hpd estimator carries a known finite-
+    ensemble shortest-interval selection bias (measured -4 to -8 pp here;
+    see test_hpd_finite_ensemble_bias_is_bounded), so eqt is the
+    estimator a nominal-recovery pin is valid for."""
+    n = 20_000
+    ppds = jax.random.normal(jax.random.PRNGKey(1), (200, n, 2))
+    cs = np.array([0.3, 0.5, 0.7, 0.9])
+    covs = []
+    for t in range(4):
+        truth = jax.random.normal(jax.random.PRNGKey(100 + t), (n, 2))
+        covs.append(np.asarray(calibrate(
+            ppds, truth, nq=100, cs=cs, fthin=2, itype="eqt",
+            key=jax.random.PRNGKey(t),
+        )))
+    cov = np.mean(covs, axis=0)
+    assert np.all(np.abs(cov - cs) <= 0.05), (cs, cov)
+    assert np.abs(cov - cs).mean() <= 0.03, (cs, cov)
+
+
+def test_hpd_finite_ensemble_bias_is_bounded():
+    """The hpd interval from a finite draw ensemble under-covers by a few
+    points (shortest-interval selection bias — it hugs the realized draws).
+    Pin the bias band so a real regression (e.g. half-width intervals,
+    ~-30 pp) cannot hide inside it, and document its sign for readers of
+    the production study (which uses hpd): measured -3 to -9 pp here,
+    i.e. far too small to explain the production 0.17-vs-0.95 gap."""
+    n = 20_000
+    ppds = jax.random.normal(jax.random.PRNGKey(1), (200, n, 2))
+    cs = np.array([0.5, 0.9])
+    covs = []
+    for t in range(4):
+        truth = jax.random.normal(jax.random.PRNGKey(100 + t), (n, 2))
+        covs.append(np.asarray(calibrate(
+            ppds, truth, nq=100, cs=cs, fthin=2, itype="hpd",
+            key=jax.random.PRNGKey(t),
+        )))
+    cov = np.mean(covs, axis=0)
+    err = cov - cs
+    assert np.all(err <= 0.02), (cs, cov)   # no over-coverage
+    assert np.all(err >= -0.12), (cs, cov)  # bias bounded: not a half-width bug
 
 
 def test_miscalibrated_ensemble_undercovers():
