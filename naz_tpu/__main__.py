@@ -929,6 +929,7 @@ def main(argv=None):
         )
         out = {
             "log_evidence": ev.log_evidence,
+            "log_evidence_se": ev.log_evidence_se,
             "log_evidence_ti": ev.log_evidence_ti,
             "betas": ev.betas.tolist(),
             "mean_log_l": ev.mean_log_l.tolist(),

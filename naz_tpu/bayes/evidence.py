@@ -55,6 +55,7 @@ class SteppingStoneConfig:
 
 class PowerEvidenceResult(NamedTuple):
     log_evidence: float  # stepping-stone estimate
+    log_evidence_se: float  # delta-method SE (per-rung, ESS-adjusted)
     log_evidence_ti: float  # thermodynamic-integration cross-check
     betas: np.ndarray  # (K,)
     mean_log_l: np.ndarray  # (K,) E_beta[log L]
@@ -142,18 +143,23 @@ def stepping_stone_evidence(
 
     ll_mat = np.stack(ll_rows)  # (K, S*C)
     n = ll_mat.shape[1]
-    log_ratios, ess = [], []
+    log_ratios, ess, se2 = [], [], []
     for k in range(K - 1):
         w = (betas[k + 1] - betas[k]) * ll_mat[k]
         m = w.max()
         log_ratios.append(m + math.log(np.exp(w - m).sum()) - math.log(n))
         wn = np.exp(w - m)
         ess.append(float(wn.sum() ** 2 / (wn**2).sum()))
+        # delta method for log r_k = log mean(exp w): Var ~ Var(wn) /
+        # (n_eff * mean(wn)^2), with the IS ESS as the effective count
+        # (the draws behind wn are autocorrelated MCMC output)
+        se2.append(float(wn.var() / (max(ess[-1], 1.0) * wn.mean() ** 2)))
     mean_ll = ll_mat.mean(axis=1)
     trapezoid = getattr(np, "trapezoid", None) or np.trapz  # numpy<2 compat
     log_z_ti = float(trapezoid(mean_ll, betas))
     return PowerEvidenceResult(
         log_evidence=float(np.sum(log_ratios)),
+        log_evidence_se=float(np.sqrt(np.sum(se2))),
         log_evidence_ti=log_z_ti,
         betas=betas,
         mean_log_l=mean_ll,

@@ -31,6 +31,10 @@ def main(argv=None):
     ap.add_argument("svi_npz")
     ap.add_argument("--svi-json", default=None,
                     help="stdout JSON of the svi CLI (evidence numbers)")
+    ap.add_argument("--evidence-json", default=None,
+                    help="JSON from the evidence CLI (stepping-stone/TI "
+                    "log Z — fills the table's evidence hole where "
+                    "guide-IS collapses)")
     ap.add_argument("--n-data", type=int, required=True)
     ap.add_argument("--n-coords", type=int, default=4096,
                     help="random weight coordinates for the spread ratio")
@@ -63,10 +67,12 @@ def main(argv=None):
     a("|---|---|---|")
     a(f"| posterior draws compared | {pf_n.shape[0]} | {pf_s.shape[0]} |")
     for k in range(min(4, P)):
+        # scientific notation: posterior weight sds are ~1e-5 at sigma0=0.01
+        # (multiplicative prior), far below any fixed-decimal format
         a(
             f"| weight coord {k}: mean ± sd | "
-            f"{pf_n[:, k].mean():+.4f} ± {pf_n[:, k].std():.4f} | "
-            f"{pf_s[:, k].mean():+.4f} ± {pf_s[:, k].std():.4f} |"
+            f"{pf_n[:, k].mean():+.3e} ± {pf_n[:, k].std():.2e} | "
+            f"{pf_s[:, k].mean():+.3e} ± {pf_s[:, k].std():.2e} |"
         )
     a(
         f"| weight-space spread sd(SVI)/sd(NUTS), median [IQR] over "
@@ -88,6 +94,26 @@ def main(argv=None):
             f"IS ESS = {ev['is_ess']:.1f} / {ev.get('evidence_samples', '?')} |"
         )
         a(f"| final -ELBO | — | {ev['final_neg_elbo']:.1f} |")
+    if args.evidence_json:
+        with open(args.evidence_json) as f:
+            pz = json.load(f)
+        se = pz.get("log_evidence_se")
+        se_s = f" ± {se:.2f}" if se is not None else ""
+        agree = ""
+        if se is not None:
+            d = abs(pz["log_evidence"] - pz["log_evidence_ti"])
+            agree = (
+                f" (TI−SS = {pz['log_evidence_ti']-pz['log_evidence']:+.2f}, "
+                f"{'within' if d <= 2 * se else 'OUTSIDE'} 2·SE)"
+            )
+        a(
+            f"| log Z, stepping-stone ({len(pz['betas'])}-rung ladder) | "
+            f"{pz['log_evidence']:.1f}{se_s} | — |"
+        )
+        a(
+            f"| log Z, thermodynamic integration | "
+            f"{pz['log_evidence_ti']:.1f}{agree} | — |"
+        )
 
     table = "\n".join(lines)
     print(table)
