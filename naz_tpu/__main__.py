@@ -214,6 +214,13 @@ def main(argv=None):
         "NUTS uses 2^--max-depth)",
     )
     hp.add_argument(
+        "--warmup-max-leapfrogs", type=int, default=0,
+        help="chees only: separate leapfrog cap for the warmup phase "
+        "(0 = use --max-leapfrogs). Warmup cost scales with this budget "
+        "and T still adapts above the cap, so production runs use a tight "
+        "warmup cap (~96) with full-length --max-leapfrogs sampling",
+    )
+    hp.add_argument(
         "--min-leapfrogs", type=int, default=1,
         help="floor on leapfrog steps per ChEES trajectory (and on T via "
         "the adaptation clip) — guards against trajectory-length collapse "
@@ -221,13 +228,12 @@ def main(argv=None):
     )
     hp.add_argument(
         "--leapfrogs-per-program", type=int, default=0,
-        help="split each sampling-phase ChEES trajectory across device "
-        "programs of at most this many leapfrog steps (0 = whole "
+        help="split each ChEES trajectory (warmup AND sampling) across "
+        "device programs of at most this many leapfrog steps (0 = whole "
         "trajectory per program). Lets --max-leapfrogs reach the adapted "
         "T/eps under a program-runtime watchdog: carries stay on-device "
         "between dispatches, one dynamic-trip-count executable serves "
-        "every chunk size (chees only; takes effect on the sampling "
-        "phase, i.e. resumed/warmed runs)",
+        "every chunk size (chees only)",
     )
     hp.add_argument(
         "--out-thin", type=int, default=1,
@@ -857,6 +863,7 @@ def main(argv=None):
                     chain_exec=args.chain_exec,
                     steps_per_program=args.steps_per_program,
                     max_leapfrogs=args.max_leapfrogs,
+                    warmup_max_leapfrogs=args.warmup_max_leapfrogs,
                     min_leapfrogs=args.min_leapfrogs,
                     leapfrogs_per_program=args.leapfrogs_per_program,
                     thin_draws=args.thin_draws,

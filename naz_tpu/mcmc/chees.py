@@ -135,10 +135,19 @@ class ChEESConfig:
     # With chunking the host drives ceil(L/chunk) dispatches per draw
     # (carries stay on-device; ~0.1-0.4 s dispatch overhead each) and a
     # single compiled segment program with a dynamic trip count serves
-    # every chunk size, so L can reach the adapted T. Sampling-phase
-    # feature; warmup keeps whole-trajectory programs (use it after a
-    # warmed checkpoint, the resume path).
+    # every chunk size, so L can reach the adapted T. Applies to BOTH the
+    # sampling phase and warmup (round 5): warmup trajectories split the
+    # same way, with the adaptation tail (accept/DA/Adam/Welford/window
+    # close) as its own cheap program — parity-tested against the
+    # monolithic warmup in tests/test_chees.py.
     leapfrogs_per_program: int = 0
+    # Warmup-phase leapfrog cap (0 = use max_leapfrogs). Warmup cost
+    # scales with the per-iteration leapfrog budget, and a capped warmup
+    # still adapts T correctly ABOVE the cap (the non-ratcheting clip
+    # below), so the production recipe is a tight warmup cap (~96) with a
+    # full-length max_leapfrogs for sampling — previously only expressible
+    # as two CLI invocations against one checkpoint dir.
+    warmup_max_leapfrogs: int = 0
     # chain execution inside the program: "vmap" (lockstep batched — the
     # natural ChEES layout) or "map" (sequential; only when one chain
     # saturates the chip)
@@ -269,7 +278,7 @@ def chees_init(
     )
 
 
-def _trajectories(pg, state: ChEESState, cfg: ChEESConfig):
+def _trajectories(pg, state: ChEESState, cfg: ChEESConfig, cap: int = None):
     """Run one jittered-HMC iteration for all chains in lockstep.
 
     Returns (proposal LeapfrogState batched over chains, H0 (C,), new keys,
@@ -277,11 +286,12 @@ def _trajectories(pg, state: ChEESState, cfg: ChEESConfig):
     mixed precision (gradients from a fast approximate potential are fine:
     leapfrog with any deterministic field stays volume-preserving and
     reversible, so exact endpoint energies keep the stationary
-    distribution exact)."""
+    distribution exact). ``cap`` overrides ``cfg.max_leapfrogs`` (the
+    warmup phase may run a tighter leapfrog budget)."""
     h = halton(state.iteration)
     # shared leapfrog count; ceil so L >= 1
     L = jnp.ceil(h * state.traj_len / state.step_size).astype(jnp.int32)
-    L = jnp.clip(L, max(1, cfg.min_leapfrogs), cfg.max_leapfrogs)
+    L = jnp.clip(L, max(1, cfg.min_leapfrogs), cap or cfg.max_leapfrogs)
 
     keys = jax.vmap(jax.random.split)(state.key)
     k_mom, k_next = keys[:, 0], keys[:, 1]
@@ -493,13 +503,20 @@ def chees_warmup(
             probe_evals=ev0,
         )
 
-    def one_step(carry: _WarmupCarry, xs):
+    def one_step(carry: _WarmupCarry, xs, traj=None):
         slow, wend = xs
         state = carry.state._replace(
             step_size=jnp.exp(carry.da.log_step),
             traj_len=jnp.exp(carry.log_T),
         )
-        s1, H0, k_next, L, h = _trajectories(pg, state, cfg)
+        if traj is None:
+            s1, H0, k_next, L, h = _trajectories(
+                pg, state, cfg, cap=cfg.warmup_max_leapfrogs or None
+            )
+        else:
+            # chunked warmup: the trajectory was integrated by the host
+            # across watchdog-safe programs (same fields, same RNG stream)
+            s1, H0, k_next, L, h = traj
         accept_prob, _div, U1 = _accept(s1, H0, state, exact_U)
         k_acc = jax.vmap(lambda k: jax.random.fold_in(k, 1))(k_next)
         u = jax.vmap(lambda k: jax.random.uniform(k, ()))(k_acc)
@@ -598,6 +615,94 @@ def chees_warmup(
 
     carry = _init(state)
     accepts = []
+    if cfg.leapfrogs_per_program > 0:
+        # Chunked warmup (mirrors make_chunked_step for the sampling
+        # phase): the remote worker kills device programs over ~1 min, and
+        # a whole-trajectory warmup program at production scale (chains x
+        # max_leapfrogs x ms/grad) can exceed that with no mid-warmup
+        # checkpoint to resume from. Split each warmup trajectory across
+        # <=leapfrogs_per_program-step programs; the adaptation tail runs
+        # as its own (cheap) program. Identical math to the monolithic
+        # path — same Halton jitter, RNG stream, DA/Adam/Welford updates —
+        # only the program boundaries differ (parity-tested in
+        # tests/test_chees.py).
+        chunk = int(cfg.leapfrogs_per_program)
+        if cfg.chain_exec == "vmap":
+            step_all = lambda s, eps, im: jax.vmap(
+                lambda si: leapfrog(pg, si, eps, im)
+            )(s)
+        else:
+            step_all = lambda s, eps, im: lax.map(
+                lambda si: leapfrog(pg, si, eps, im), s
+            )
+
+        @jax.jit
+        def _wstart(carry: _WarmupCarry):
+            state = carry.state._replace(
+                step_size=jnp.exp(carry.da.log_step),
+                traj_len=jnp.exp(carry.log_T),
+            )
+            h = halton(state.iteration)
+            L = jnp.ceil(h * state.traj_len / state.step_size).astype(jnp.int32)
+            L = jnp.clip(
+                L, max(1, cfg.min_leapfrogs),
+                cfg.warmup_max_leapfrogs or cfg.max_leapfrogs,
+            )
+            keys = jax.vmap(jax.random.split)(state.key)
+            k_mom, k_next = keys[:, 0], keys[:, 1]
+            r0 = jax.vmap(
+                lambda k, q: jax.random.normal(k, q.shape)
+                / jnp.sqrt(state.inv_mass)
+            )(k_mom, state.q)
+            H0 = state.U + kinetic(r0, state.inv_mass[None, :])
+            s0 = LeapfrogState(state.q, r0, state.U, state.grad)
+            return s0, H0, k_next, L, h, state.step_size, state.inv_mass
+
+        @jax.jit
+        def _wseg(s, step_size, inv_mass, n):
+            return lax.fori_loop(
+                0, n, lambda i, si: step_all(si, step_size, inv_mass), s
+            )
+
+        @jax.jit
+        def _wtail(carry, flags, traj):
+            return one_step(carry, flags, traj)
+
+        for i in range(cfg.num_warmup):
+            s1, H0, k_next, L, h, eps_i, im_i = _wstart(carry)
+            L_host = int(L)  # one scalar transfer per warmup iteration
+            done = 0
+            while done < L_host:
+                n = min(chunk, L_host - done)
+                s1 = _wseg(s1, eps_i, im_i, n)
+                done += n
+            carry, acc = _wtail(
+                carry,
+                (jnp.asarray(is_slow_np[i]), jnp.asarray(wend_np[i])),
+                (s1, H0, k_next, L, h),
+            )
+            accepts.append(np.asarray(acc)[None])
+            if cfg.verbose:
+                print(
+                    f"chees warmup {i + 1}/{cfg.num_warmup}: eps="
+                    f"{float(jnp.exp(carry.da.log_step_avg)):.3g} "
+                    f"T={float(jnp.exp(carry.log_T)):.3g} "
+                    f"L={L_host} "
+                    f"accept={float(np.asarray(acc)):.2f}"
+                )
+        final = carry.state._replace(
+            step_size=jnp.exp(carry.da.log_step_avg),
+            traj_len=jnp.exp(carry.log_T),
+        )
+        info = {
+            "accept_prob": np.concatenate(accepts) if accepts else np.zeros(0),
+            "step_size": float(final.step_size),
+            "traj_len": float(final.traj_len),
+            "num_grad_evals": int(carry.n_evals) * state.q.shape[0]
+            + int(carry.probe_evals),
+        }
+        return final, info
+
     spp = max(1, cfg.steps_per_program)
     for lo in range(0, cfg.num_warmup, spp):
         hi = min(lo + spp, cfg.num_warmup)

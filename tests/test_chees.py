@@ -625,3 +625,78 @@ def test_fit_chees_warm_start_scale(tmp_path, monkeypatch):
     )
     np.testing.assert_allclose(seen["inv_mass"], inv_mass * scale, rtol=1e-6)
     assert seen["eps"] == pytest.approx(eps * scale**0.5, rel=1e-6)
+
+
+def test_chees_chunked_warmup_matches_monolithic():
+    """leapfrogs_per_program now applies to warmup too (round 5): the
+    host-sequenced warmup must run the SAME adaptation as the monolithic
+    scan — same Halton L sequence, RNG stream, DA/Adam/Welford updates,
+    window closes and step-size re-probes — identical adapted state up to
+    float reassociation across program boundaries."""
+    import dataclasses
+
+    scales = jnp.array([1.0, 3.0, 0.5, 2.0])
+    U = _gaussian_potential(scales)
+    base = ChEESConfig(
+        num_warmup=120, num_samples=8, num_chains=8, seed=3,
+        init_step_size=0.5, max_leapfrogs=32, steps_per_program=4,
+    )
+    q0 = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (8, 4))
+    state0 = chees_init(U, q0, base)
+
+    s_mono, i_mono = chees_warmup(U, state0, base)
+    chunked = dataclasses.replace(base, leapfrogs_per_program=4)
+    s_chunk, i_chunk = chees_warmup(U, state0, chunked)
+
+    assert i_mono["num_grad_evals"] == i_chunk["num_grad_evals"]
+    np.testing.assert_allclose(
+        np.asarray(i_mono["accept_prob"]), np.asarray(i_chunk["accept_prob"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(s_mono.step_size), float(s_chunk.step_size), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(s_mono.traj_len), float(s_chunk.traj_len), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_mono.inv_mass), np.asarray(s_chunk.inv_mass), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_mono.q), np.asarray(s_chunk.q), rtol=1e-4, atol=1e-6
+    )
+
+    # and sampling from the chunked-warmup state works end to end
+    from naz_tpu.mcmc.chees import chees_sample
+
+    _, s_draws, _ = chees_sample(U, s_chunk, chunked)
+    assert np.isfinite(np.asarray(s_draws)).all()
+
+
+def test_chees_warmup_max_leapfrogs_cap():
+    """warmup_max_leapfrogs bounds the warmup-phase leapfrog budget while
+    max_leapfrogs still governs sampling and the T-growth bound: warmup
+    grad evals stay within num_warmup * cap, T may adapt above cap * eps,
+    and sampling trajectories exceed the warmup cap."""
+    import dataclasses
+
+    from naz_tpu.mcmc.chees import chees_init, chees_sample, chees_warmup
+
+    scales = jnp.array([1.0, 10.0, 0.5, 5.0])
+    U = _gaussian_potential(scales)
+    cfg = ChEESConfig(
+        num_warmup=150, num_samples=32, num_chains=8, seed=4,
+        init_step_size=0.5, max_leapfrogs=64, warmup_max_leapfrogs=2,
+        adapt_mass=False,  # identity mass keeps the target ill-conditioned
+        steps_per_program=8,
+    )
+    q0 = 0.5 * jax.random.normal(jax.random.PRNGKey(2), (8, 4))
+    state = chees_init(U, q0, cfg)
+    state, winfo = chees_warmup(U, state, cfg)
+    # lockstep warmup leapfrogs are bounded by the warmup cap (probes are
+    # single-chain and counted separately; allow them as slack)
+    assert winfo["num_grad_evals"] <= 150 * 2 * 8 + 2000
+    # sampling runs under max_leapfrogs and actually exceeds the warmup cap
+    _, draws, sinfo = chees_sample(U, state, cfg)
+    assert int(np.asarray(sinfo["num_leapfrogs"]).max()) > 2
+    assert np.isfinite(np.asarray(draws)).all()
