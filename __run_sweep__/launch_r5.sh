@@ -15,6 +15,12 @@ export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=10
 set -e
 S=${S:-0.3}
 PREV=${PREV:-0.1}
+# Budget defaults (round-5 final-chip-window arithmetic): warm-started
+# from sigma0=0.1's adapted eps/T/mass, 150 windowed re-adapt iterations
+# suffice (vs 300 cold); 64 full-trajectory draws/chain at the adapted
+# T ~ 450 leapfrogs are near-independent (256 total), enough for the
+# nq<=100 coverage readout at split-Rhat <= 1.05. thin-draws 4 keeps
+# 16 full positions/chain (64 total, --max-draws 64 downstream).
 
 if [ ! -f __run_sweep__/post_${S}.npz ]; then
   WS=""
@@ -26,11 +32,11 @@ if [ ! -f __run_sweep__/post_${S}.npz ]; then
     --mle-params __run_2d__/mle_2d.npz \
     --layers 16 --hidden 150 150 150 --compute-dtype bfloat16 \
     --kernel chees --num-chains 4 --chain-exec map --sigma $S $WS \
-    --num-warmup ${WARMUP:-300} --num-samples ${DRAWS:-120} --nbatch ${NBATCH:-40} \
+    --num-warmup ${WARMUP:-150} --num-samples ${DRAWS:-64} --nbatch ${NBATCH:-16} \
     --min-leapfrogs 4 --steps-per-program 1 \
     --max-leapfrogs ${MAXL:-720} --warmup-max-leapfrogs 96 \
     --leapfrogs-per-program 96 \
-    --chckpt __run_sweep__/ckpt_${S} --thin-draws 8 \
+    --chckpt __run_sweep__/ckpt_${S} --thin-draws ${THIN:-4} \
     --out-thin 1 --out __run_sweep__/post_${S}.npz \
     2>&1 | tee -a __run_sweep__/hmc_${S}.log
 fi
