@@ -104,9 +104,15 @@ def build_warmup_schedule(
     if num_warmup <= 0:
         return np.zeros(0, bool), np.zeros(0, bool)
     if num_warmup < init_buffer + term_buffer + base_window:
-        # degenerate short warmup: single slow window in the middle
+        # degenerate short warmup: single slow window in the middle.
+        # The terminal buffer must stay long enough for dual averaging to
+        # re-equilibrate after the LAST mass update resets it — ~7 post-
+        # window iterations froze eps 2-3x above equilibrium and produced
+        # accept 0.14 in sampling at the 19M-weight 4-param run
+        # (RESULTS.md §6), where 10% of a 60-iteration warmup left the
+        # averaged step mid-oscillation. 25% is the measured-safe floor.
         init_buffer = max(1, int(0.15 * num_warmup))
-        term_buffer = max(1, int(0.1 * num_warmup))
+        term_buffer = max(1, int(0.25 * num_warmup))
 
     is_slow = np.zeros(num_warmup, dtype=bool)
     window_end = np.zeros(num_warmup, dtype=bool)

@@ -356,3 +356,24 @@ def test_fit_nuts_lean_mode():
     u0 = jnp.zeros(bf.dim)
     ll0 = float(bf.log_likelihood_flat(bf.constrain(u0)["params_flat"]))
     assert abs(np.median(post["log_likelihood"]) - ll0) < 200
+
+
+def test_short_warmup_terminal_buffer_floor():
+    """The degenerate short-warmup schedule must leave dual averaging
+    enough iterations after the LAST mass-window close to re-equilibrate:
+    a 10% terminal buffer (6 iters at num_warmup=60) froze eps 2-3x above
+    equilibrium at the 19M-weight 4-param run (RESULTS.md §6). The floor
+    is 25% of num_warmup."""
+    import numpy as np
+
+    from naz_tpu.mcmc.adapt import build_warmup_schedule
+
+    for n in (20, 40, 60, 100, 140):
+        _, window_end = build_warmup_schedule(n)
+        closes = np.nonzero(window_end)[0]
+        assert closes.size >= 1, f"num_warmup={n}: no mass window closed"
+        tail = n - 1 - int(closes[-1])
+        assert tail >= int(0.25 * n) - 1, (
+            f"num_warmup={n}: only {tail} iterations after the last mass "
+            f"window close; dual averaging cannot re-equilibrate"
+        )
